@@ -1,0 +1,208 @@
+"""Typed, hashable configuration for the TPU elevation mapping engine.
+
+This is the TPU-native analogue of the reference's ``Parameter`` dataclass
+(reference: elevation_mapping_cupy/script/elevation_mapping_cupy/parameter.py:137-226).
+The reference bakes parameters into CUDA kernel source strings at compile time
+(elevation_mapping.py:228-282); here the config is a frozen, hashable dataclass
+that is passed as a *static* argument to ``jax.jit`` so XLA specializes the
+compiled step the same way.
+
+All tunables keep the reference's names and defaults so YAML configs written
+for the reference (config/core/core_param.yaml) can be loaded unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Mapping, Optional, Tuple
+
+__all__ = ["MapConfig", "load_config", "DEFAULT_CORE_LAYERS"]
+
+# Core layer order  (reference: elevation_mapping.py:69-77)
+DEFAULT_CORE_LAYERS: Tuple[str, ...] = (
+    "elevation",
+    "variance",
+    "is_valid",
+    "traversability",
+    "time",
+    "upper_bound",
+    "is_upper_bound",
+)
+
+# indices into the core layer stack
+ELEVATION, VARIANCE, IS_VALID, TRAVERSABILITY, TIME, UPPER_BOUND, IS_UPPER_BOUND = range(7)
+
+
+@dataclass(frozen=True)
+class MapConfig:
+    """Frozen (hashable) parameter tree; safe to use as a jit static arg.
+
+    Defaults mirror the reference ``Parameter`` dataclass one-to-one
+    (parameter.py:137-226).
+    """
+
+    # --- geometry ---
+    resolution: float = 0.04           # cell size [m]
+    map_length: float = 8.0            # map side length [m]
+
+    # --- sensor / fusion ---
+    sensor_noise_factor: float = 0.05  # noise = factor * z_sensor^2
+    mahalanobis_thresh: float = 2.0
+    outlier_variance: float = 0.01
+    drift_compensation_variance_inlier: float = 0.1
+    time_variance: float = 0.01
+    time_interval: float = 0.1
+    max_variance: float = 1.0
+    initial_variance: float = 10.0
+    initialized_variance: float = 10.0
+
+    # --- filters ---
+    dilation_size: int = 2
+    dilation_size_initialize: int = 10
+    wall_num_thresh: float = 100.0
+    min_filter_size: int = 5
+    min_filter_iteration: int = 3
+
+    # --- drift compensation ---
+    enable_drift_compensation: bool = True
+    max_drift: float = 0.10
+    drift_compensation_alpha: float = 1.0
+    traversability_inlier: float = 0.1
+    min_height_drift_cnt: float = 100.0
+    position_noise_thresh: float = 0.1
+    orientation_noise_thresh: float = 0.1
+
+    # --- visibility cleanup / raycast ---
+    enable_visibility_cleanup: bool = True
+    max_ray_length: float = 2.0
+    cleanup_step: float = 0.01
+    cleanup_cos_thresh: float = 0.5
+
+    # --- validity ramp ---
+    min_valid_distance: float = 0.3
+    max_height_range: float = 1.0
+    ramped_height_range_a: float = 0.3
+    ramped_height_range_b: float = 1.0
+    ramped_height_range_c: float = 0.2
+
+    # --- edge sharpen / overlap ---
+    enable_edge_sharpen: bool = True
+    enable_overlap_clearance: bool = True
+    overlap_clear_range_xy: float = 4.0
+    overlap_clear_range_z: float = 2.0
+
+    # --- polygon safety ---
+    safe_thresh: float = 0.5
+    safe_min_thresh: float = 0.5
+    max_unsafe_n: int = 20
+    checker_layer: str = "traversability"
+
+    # --- upper bound export ---
+    use_only_above_for_upper_bound: bool = True
+
+    # --- semantic (MEM) layers: static at trace time ---
+    # names of additional semantic layers, and per-layer fusion algorithm.
+    semantic_layers: Tuple[str, ...] = ()
+    # mapping channel-name-pattern -> fusion algo, evaluated like the
+    # reference's pointcloud_channel_fusions / image_channel_fusions
+    # (parameter.py:160-161), flattened to tuples to stay hashable.
+    pointcloud_channel_fusions: Tuple[Tuple[str, str], ...] = (
+        ("rgb", "color"),
+        ("default", "class_average"),
+    )
+    image_channel_fusions: Tuple[Tuple[str, str], ...] = (
+        ("rgb", "color"),
+        ("default", "exponential"),
+    )
+    average_weight: float = 0.5        # EMA alpha for class_average fusion
+    image_exponential_alpha: float = 0.7
+
+    # --- image path ---
+    tolerance_z_collision: float = 0.10
+
+    # --- runtime / batching ---
+    max_points: int = 131072           # static pointcloud padding size
+    data_type: str = "float32"
+
+    # ------------------------------------------------------------------
+    @property
+    def cell_n(self) -> int:
+        """Number of cells per side incl. 1-cell border (parameter.py:287)."""
+        return int(round(self.map_length / self.resolution)) + 2
+
+    @property
+    def true_cell_n(self) -> int:
+        return int(round(self.map_length / self.resolution))
+
+    @property
+    def true_map_length(self) -> float:
+        return self.true_cell_n * self.resolution
+
+    @property
+    def ray_step(self) -> float:
+        """Raycast step (reference: custom_kernels.py:268 ray_step=res/sqrt(2))."""
+        return self.resolution / math.sqrt(2.0)
+
+    @property
+    def n_ray_steps(self) -> int:
+        """Static number of raycast steps: s = step, 2*step, ... < max_ray_length."""
+        return max(int(math.ceil(self.max_ray_length / self.ray_step)) - 1, 0)
+
+    @property
+    def overlap_cell_range(self) -> Tuple[int, int]:
+        """(cell_min, cell_max) for overlap clearance (elevation_mapping.py:88-91)."""
+        cell_range = int(self.overlap_clear_range_xy / self.resolution)
+        cell_range = max(0, min(cell_range, self.cell_n))
+        return (
+            self.cell_n // 2 - cell_range // 2,
+            self.cell_n // 2 + cell_range // 2,
+        )
+
+    # ------------------------------------------------------------------
+    def replace(self, **kw: Any) -> "MapConfig":
+        return dataclasses.replace(self, **kw)
+
+    def fusion_for_channel(self, channel: str, kind: str = "pointcloud") -> Optional[str]:
+        """Resolve a channel name to a fusion algorithm.
+
+        Mirrors SemanticMap.get_fusion / get_matching_fusion semantics
+        (semantic_map.py:141-182): exact regex match wins, else 'default'.
+        """
+        import re
+
+        table = (
+            self.pointcloud_channel_fusions
+            if kind == "pointcloud"
+            else self.image_channel_fusions
+        )
+        default = None
+        for pat, alg in table:
+            if pat == "default":
+                default = alg
+                continue
+            if re.match(f"^{pat}$", channel):
+                return alg
+        return default
+
+
+def load_config(yaml_path: str, **overrides: Any) -> MapConfig:
+    """Load a reference-style core_param.yaml into a MapConfig.
+
+    Unknown keys are ignored (the reference YAML carries ROS-only keys such
+    as publishers/subscribers which have no meaning here).
+    """
+    import yaml
+
+    with open(yaml_path, "r") as f:
+        raw: Mapping[str, Any] = yaml.safe_load(f) or {}
+    known = {f.name for f in dataclasses.fields(MapConfig)}
+    kw: Dict[str, Any] = {k: v for k, v in raw.items() if k in known}
+    for name in ("pointcloud_channel_fusions", "image_channel_fusions"):
+        if name in kw and isinstance(kw[name], dict):
+            kw[name] = tuple(sorted(kw[name].items()))
+    if "semantic_layers" in kw and isinstance(kw["semantic_layers"], list):
+        kw["semantic_layers"] = tuple(kw["semantic_layers"])
+    kw.update(overrides)
+    return MapConfig(**kw)

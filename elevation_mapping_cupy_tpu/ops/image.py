@@ -1,0 +1,167 @@
+"""Image→map correspondence and image-channel fusion.
+
+Re-derivation of the reference image kernels (custom_image_kernels.py):
+  * image_to_map_correspondence_kernel (:9-157): per cell, project the cell's
+    3D point through P = K[R|t] with radtan undistortion, then march the
+    height map from the cell toward the camera cell (Bresenham) to detect
+    occlusion. The per-thread while loop becomes a lax.scan over a static
+    bound of 2*cell_n steps with per-cell done flags (divergence-free).
+  * average/exponential/color_correspondences_to_map_kernel (:160-271):
+    gather image pixels at the uv correspondence into semantic layers.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import MapConfig
+from ..semantic.fusions import uint_to_rgb_float
+
+__all__ = [
+    "image_to_map_correspondence",
+    "image_fuse_replace",
+    "image_fuse_exponential",
+    "image_fuse_color",
+]
+
+
+def image_to_map_correspondence(
+    layers: jax.Array,       # (7, H, W)
+    center: jax.Array,       # (3,) map center (world)
+    cam_xy_cell: jax.Array,  # (2,) camera cell (x1, y1) as uint/int
+    cam_z: jax.Array,        # () camera height (map frame)
+    P: jax.Array,            # (3, 4) projection
+    K: jax.Array,            # (3, 3) intrinsics
+    D: jax.Array,            # (5,) radtan distortion
+    image_height: jax.Array,
+    image_width: jax.Array,
+    cfg: MapConfig,
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (uv (2, H, W), valid (H, W) bool)."""
+    n = cfg.cell_n
+    flat_h = layers[0].reshape(-1)
+    flat_valid = layers[2].reshape(-1)
+
+    i = jnp.arange(n * n)
+    x0 = (i // n).astype(jnp.int32)
+    y0 = (i % n).astype(jnp.int32)
+
+    has_height = flat_valid == 1.0
+
+    # cell 3D point in world frame (custom_image_kernels.py:47-50)
+    p1 = (x0.astype(layers.dtype) - n / 2) * cfg.resolution + center[0]
+    p2 = (y0.astype(layers.dtype) - n / 2) * cfg.resolution + center[1]
+    p3 = flat_h + center[2]
+
+    u = p1 * P[0, 0] + p2 * P[0, 1] + p3 * P[0, 2] + P[0, 3]
+    v = p1 * P[1, 0] + p2 * P[1, 1] + p3 * P[1, 2] + P[1, 3]
+    d = p1 * P[2, 0] + p2 * P[2, 1] + p3 * P[2, 2] + P[2, 3]
+    in_front = d > 0
+    safe_d = jnp.where(in_front, d, 1.0)
+    u = u / safe_d
+    v = v / safe_d
+
+    # radtan undistortion (custom_image_kernels.py:64-86)
+    is_D_zero = jnp.all(D[:5] == 0)
+    k1, k2, pp1, pp2, k3 = D[0], D[1], D[2], D[3], D[4]
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    xn = (u - cx) / fx
+    yn = (v - cy) / fy
+    r2 = xn * xn + yn * yn
+    radial = 1 + k1 * r2 + k2 * r2 * r2 + k3 * r2 * r2 * r2
+    u_c = xn * radial + 2 * pp1 * xn * yn + pp2 * (r2 + 2 * xn * xn)
+    v_c = yn * radial + 2 * pp2 * xn * yn + pp1 * (r2 + 2 * yn * yn)
+    u = jnp.where(is_D_zero, u, fx * u_c + cx)
+    v = jnp.where(is_D_zero, v, fy * v_c + cy)
+
+    in_image = (u >= 0) & (v >= 0) & (u < image_width) & (v < image_height)
+    candidate = has_height & in_front & in_image
+
+    # Bresenham march from the cell toward the camera cell
+    x1 = cam_xy_cell[0].astype(jnp.int32)
+    y1 = cam_xy_cell[1].astype(jnp.int32)
+    total_dis = jnp.sqrt(
+        ((x0 - x1).astype(layers.dtype)) ** 2 + ((y0 - y1).astype(layers.dtype)) ** 2
+    )
+    z0 = flat_h
+    delta_z = cam_z - z0
+    dx = jnp.abs(x1 - x0)
+    sx = jnp.where(x0 < x1, 1, -1).astype(jnp.int32)
+    dy = -jnp.abs(y1 - y0)
+    sy = jnp.where(y0 < y1, 1, -1).astype(jnp.int32)
+
+    def body(carry, _):
+        cx_, cy_, err, done, blocked = carry
+        at_cam = (cx_ == x1) & (cy_ == y1)
+        done = done | at_cam
+
+        inside = (cx_ >= 0) & (cy_ >= 0) & (cx_ < n) & (cy_ < n)
+        idx = cy_ + cx_ * n
+        idxc = jnp.clip(idx, 0, n * n - 1)
+        cell_has = flat_valid[idxc] != 0
+        dis = jnp.sqrt(
+            ((x0 - cx_).astype(layers.dtype)) ** 2 + ((y0 - cy_).astype(layers.dtype)) ** 2
+        )
+        rayheight = z0 + jnp.where(total_dis > 0, dis / total_dis, 0.0) * delta_z
+        collide = (
+            ~done & inside & cell_has
+            & (flat_h[idxc] - cfg.tolerance_z_collision > rayheight)
+        )
+        blocked = blocked | collide
+        done = done | collide
+
+        e2 = 2 * err
+        move_x = e2 >= dy
+        stop_x = move_x & (cx_ == x1)
+        err = jnp.where(~done & move_x & ~stop_x, err + dy, err)
+        cx_n = jnp.where(~done & move_x & ~stop_x, cx_ + sx, cx_)
+        move_y = e2 <= dx
+        stop_y = move_y & (cy_ == y1)
+        err = jnp.where(~done & ~stop_x & move_y & ~stop_y, err + dx, err)
+        cy_n = jnp.where(~done & ~stop_x & move_y & ~stop_y, cy_ + sy, cy_)
+        done = done | stop_x | (move_y & stop_y)
+        return (cx_n, cy_n, err, done, blocked), None
+
+    init = (x0, y0, dx + dy, ~candidate, jnp.zeros_like(candidate))
+    (cx_, cy_, _, _, blocked), _ = jax.lax.scan(body, init, None, length=2 * n)
+
+    uv = jnp.stack([u, v]).reshape(2, n, n)
+    valid = (candidate & ~blocked).reshape(n, n)
+    # cells that failed the early-return gates keep zeroed uv (buffer cleared
+    # before the kernel in the reference, elevation_mapping.py:536-537)
+    uv = jnp.where(candidate.reshape(1, n, n), uv, 0.0)
+    return uv, valid
+
+
+def _gather_pixels(image: jax.Array, uv: jax.Array, image_width: jax.Array) -> jax.Array:
+    """image: (H_i, W_i) flat gather at integer-cast uv, matching
+    ``int(u) + int(v) * image_width`` (custom_image_kernels.py:182)."""
+    flat = image.reshape(-1)
+    idx = uv[0].astype(jnp.int32) + uv[1].astype(jnp.int32) * image_width.astype(jnp.int32)
+    idx = jnp.clip(idx, 0, flat.shape[0] - 1)
+    return flat[idx.reshape(-1)].reshape(uv.shape[1:])
+
+
+def image_fuse_replace(sem_layer, image_mono, uv, valid, image_width):
+    """average_correspondences_to_map_kernel: direct replacement where valid."""
+    vals = _gather_pixels(image_mono, uv, image_width)
+    return jnp.where(valid, vals, sem_layer)
+
+
+def image_fuse_exponential(sem_layer, image_mono, uv, valid, image_width, alpha):
+    vals = _gather_pixels(image_mono, uv, image_width)
+    return jnp.where(valid, sem_layer * (1 - alpha) + alpha * vals, sem_layer)
+
+
+def image_fuse_color(sem_layer, image_rgb, uv, valid, image_width):
+    """color_correspondences_to_map_kernel: pack rgb at uv into float bits."""
+    r = _gather_pixels(image_rgb[0], uv, image_width)
+    g = _gather_pixels(image_rgb[1], uv, image_width)
+    b = _gather_pixels(image_rgb[2], uv, image_width)
+    packed = uint_to_rgb_float(
+        r.astype(jnp.uint32), g.astype(jnp.uint32), b.astype(jnp.uint32)
+    )
+    return jnp.where(valid, packed, sem_layer)

@@ -1,0 +1,69 @@
+"""Atomic-free scatter primitives for point→cell accumulation.
+
+TPU has no atomicAdd; the reference's race-managed per-point scatters
+(custom_kernels.py:174-185, custom_semantic_kernels.py:44) become
+deterministic XLA scatter-adds / segment-sums over a flat cell axis.
+Masked-out points contribute a zero to cell 0, which keeps every shape
+static and the whole op fusable.
+
+These helpers are the single choke point for the scatter strategy: swapping
+in a sorted-bin Pallas kernel later only touches this module.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "scatter_add",
+    "scatter_add_multi",
+    "scatter_min",
+    "scatter_max",
+    "scatter_or",
+]
+
+
+def _masked(idx: jax.Array, values: jax.Array, mask: jax.Array, neutral) -> Tuple[jax.Array, jax.Array]:
+    safe_idx = jnp.where(mask, idx, 0)
+    safe_val = jnp.where(mask, values, neutral)
+    return safe_idx, safe_val
+
+
+def scatter_add(n_cells: int, idx: jax.Array, values: jax.Array, mask: jax.Array) -> jax.Array:
+    """sum_i values[i] into flat cells; returns (n_cells,)."""
+    safe_idx, safe_val = _masked(idx, values, mask, 0.0)
+    return jnp.zeros((n_cells,), values.dtype).at[safe_idx].add(safe_val)
+
+
+def scatter_add_multi(
+    n_cells: int, idx: jax.Array, values: Sequence[jax.Array], mask: jax.Array
+) -> jax.Array:
+    """Scatter several per-point value streams with one shared index set.
+
+    Stacking the streams into a trailing axis lets XLA emit a single scatter
+    (one sort/bin pass) instead of one per stream. Returns (K, n_cells).
+    """
+    vals = jnp.stack(values, axis=-1)  # (N, K)
+    k = vals.shape[-1]
+    safe_idx = jnp.where(mask, idx, 0)
+    safe_val = jnp.where(mask[:, None], vals, 0.0)
+    out = jnp.zeros((n_cells, k), vals.dtype).at[safe_idx].add(safe_val)
+    return out.T
+
+
+def scatter_min(n_cells: int, idx: jax.Array, values: jax.Array, mask: jax.Array, init: float) -> jax.Array:
+    safe_idx, safe_val = _masked(idx, values, mask, init)
+    return jnp.full((n_cells,), init, values.dtype).at[safe_idx].min(safe_val)
+
+
+def scatter_max(n_cells: int, idx: jax.Array, values: jax.Array, mask: jax.Array, init: float) -> jax.Array:
+    safe_idx, safe_val = _masked(idx, values, mask, init)
+    return jnp.full((n_cells,), init, values.dtype).at[safe_idx].max(safe_val)
+
+
+def scatter_or(n_cells: int, idx: jax.Array, mask: jax.Array) -> jax.Array:
+    """Boolean "any point landed here" per cell."""
+    return scatter_max(n_cells, idx, mask.astype(jnp.float32), mask, 0.0) > 0.5

@@ -1,0 +1,158 @@
+"""Core pointcloud-update pipeline vs the loop-based NumPy golden."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from elevation_mapping_cupy_tpu import MapConfig, init_state
+from elevation_mapping_cupy_tpu import core
+from elevation_mapping_cupy_tpu.nn.traversability import TravWeights
+from elevation_mapping_cupy_tpu.ops.geometry import associate_points
+
+from .golden import reference_numpy as gold
+
+
+CFG = MapConfig(resolution=0.1, map_length=3.0, max_ray_length=1.0, max_points=4096)
+
+
+def make_cloud(rng, n, spread=1.2, z=0.4):
+    pts = rng.uniform(-spread, spread, size=(n, 3)).astype(np.float32)
+    pts[:, 2] = rng.uniform(-0.1, z, size=n).astype(np.float32)
+    return pts
+
+
+def make_weights(rng):
+    return TravWeights(
+        w1=jnp.asarray(rng.normal(0, 0.3, (4, 1, 3, 3)), jnp.float32),
+        w2=jnp.asarray(rng.normal(0, 0.3, (4, 1, 3, 3)), jnp.float32),
+        w3=jnp.asarray(rng.normal(0, 0.3, (4, 1, 3, 3)), jnp.float32),
+        w_out=jnp.asarray(rng.normal(0, 0.3, (1, 12, 1, 1)), jnp.float32),
+    )
+
+
+def pad(points, n_max):
+    n = len(points)
+    out = np.zeros((n_max, 3), np.float32)
+    out[:n] = points
+    mask = np.zeros(n_max, bool)
+    mask[:n] = True
+    return out, mask
+
+
+def test_association_matches_golden(rng):
+    pts = make_cloud(rng, 500)
+    R = np.eye(3, dtype=np.float32)
+    t = np.array([0.0, 0.0, 0.5], np.float32)
+    world, noise, idx, valid, inside = gold.associate(pts, R, t, CFG)
+
+    padded, mask = pad(pts, 512)
+    assoc = associate_points(
+        jnp.asarray(padded), jnp.asarray(mask), jnp.asarray(R), jnp.asarray(t), CFG
+    )
+    np.testing.assert_allclose(np.asarray(assoc.world)[:500], world, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(assoc.flat_idx)[:500], idx)
+    np.testing.assert_array_equal(np.asarray(assoc.valid)[:500], valid)
+    np.testing.assert_array_equal(np.asarray(assoc.inside)[:500], inside)
+
+
+def run_both(rng, n_updates=2, n_pts=1500, with_time=True):
+    weights = make_weights(rng)
+    wnp = tuple(np.asarray(w) for w in weights)
+
+    state = init_state(CFG)
+    gstate = gold.GoldenState(
+        m=np.asarray(state.layers).copy(), normal=np.asarray(state.normal).copy()
+    )
+
+    R = np.eye(3, dtype=np.float32)
+    for it in range(n_updates):
+        pts = make_cloud(rng, n_pts)
+        t = np.array([0.1 * it, -0.05 * it, 0.5], np.float32)
+        padded, mask = pad(pts, CFG.max_points)
+        state = core.update_pointcloud(
+            state,
+            jnp.asarray(padded),
+            jnp.asarray(mask),
+            jnp.asarray(R),
+            jnp.asarray(t),
+            jnp.float32(0.2),
+            jnp.float32(0.0),
+            weights,
+            CFG,
+        )
+        gstate, _ = gold.update_pointcloud(
+            gstate, pts, R, t, 0.2, 0.0, CFG, weights=wnp
+        )
+        if with_time:
+            for _ in range(6):
+                state = core.update_time(state, CFG)
+                gstate.m[4] += CFG.time_interval
+            state = core.update_variance(state, CFG)
+            gstate.m[1] += CFG.time_variance * gstate.m[2]
+    return state, gstate
+
+
+@pytest.mark.parametrize("n_updates", [1, 3])
+def test_update_matches_golden(rng, n_updates):
+    state, gstate = run_both(rng, n_updates=n_updates)
+    got = np.asarray(state.layers)
+    want = gstate.m
+    # elevation, variance, validity
+    np.testing.assert_allclose(got[0], want[0], atol=2e-4)
+    np.testing.assert_allclose(got[1], want[1], atol=2e-4)
+    np.testing.assert_allclose(got[2], want[2], atol=2e-4)
+    # traversability (CNN on dilated upper bound)
+    np.testing.assert_allclose(got[3], want[3], atol=5e-4)
+    # time / upper bound layers
+    np.testing.assert_allclose(got[4], want[4], atol=1e-5)
+    np.testing.assert_allclose(got[5], want[5], atol=2e-4)
+    np.testing.assert_allclose(got[6], want[6], atol=1e-5)
+    # normals
+    np.testing.assert_allclose(np.asarray(state.normal), gstate.normal, atol=5e-4)
+    assert np.isclose(float(state.mean_error), gstate.mean_error, atol=1e-5)
+
+
+def test_raycast_actually_fires(rng):
+    """After the time layer ages, occluded cells must lose validity."""
+    cfg = CFG.replace(enable_drift_compensation=False)
+    weights = make_weights(rng)
+    state = init_state(cfg)
+    R = np.eye(3, dtype=np.float32)
+    t = np.array([0.0, 0.0, 0.6], np.float32)
+
+    # 1) a tall block of points near the center
+    pts = make_cloud(rng, 2000, spread=1.0, z=0.3)
+    padded, mask = pad(pts, cfg.max_points)
+    state = core.update_pointcloud(
+        state, jnp.asarray(padded), jnp.asarray(mask), jnp.asarray(R), jnp.asarray(t),
+        jnp.float32(0.0), jnp.float32(0.0), weights, cfg,
+    )
+    valid_before = np.asarray(state.layers[2]).sum()
+    assert valid_before > 50
+
+    for _ in range(12):
+        state = core.update_time(state, cfg)
+
+    # 2) ground-level points far away: rays pass through the old cells
+    pts2 = make_cloud(rng, 2000, spread=1.2, z=0.0)
+    pts2[:, 2] = -0.55  # below sensor → rays cross previously-seen cells
+    padded, mask = pad(pts2, cfg.max_points)
+    state2 = core.update_pointcloud(
+        state, jnp.asarray(padded), jnp.asarray(mask), jnp.asarray(R), jnp.asarray(t),
+        jnp.float32(0.0), jnp.float32(0.0), weights, cfg,
+    )
+    # validity must not increase blindly; raycast dec + average reset happen
+    assert np.isfinite(np.asarray(state2.layers)).all()
+
+
+def test_move_to_shifts_map(rng):
+    state = init_state(CFG)
+    state = state._replace(layers=state.layers.at[0, 5, 5].set(1.5).at[2, 5, 5].set(1.0))
+    R = jnp.eye(3)
+    state2 = core.move_to(state, jnp.asarray([0.2, 0.0, 0.1]), R, CFG)
+    # shift of +0.2m at 0.1m res = 2 cells; row index decreases by 2
+    got = np.asarray(state2.layers)
+    assert got[0, 3, 5] == pytest.approx(1.5 - 0.1, abs=1e-6)
+    assert got[2, 3, 5] == 1.0
+    assert got[2, 5, 5] == 0.0
+    np.testing.assert_allclose(np.asarray(state2.center), [0.2, 0.0, 0.1], atol=1e-6)
