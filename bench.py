@@ -1,0 +1,84 @@
+"""Benchmark: scatter-fusion throughput on the reference operating envelope.
+
+Runs the full pointcloud→map update (8 m x 8 m @ 0.04 m map, 202x202 cells —
+BASELINE.md) with a 1M-point synthetic LiDAR cloud on one chip and reports
+points/s/chip. vs_baseline is measured against the BASELINE.json north-star
+target of 1M points/s/chip (the reference repo publishes no numbers).
+
+Prints ONE JSON line:
+  {"metric": "points/s/chip", "value": N, "unit": "points/s", "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from elevation_mapping_cupy_tpu import MapConfig, init_state
+    from elevation_mapping_cupy_tpu import core
+    from elevation_mapping_cupy_tpu.nn.traversability import default_weights
+
+    n_points = int(os.environ.get("BENCH_POINTS", 1_000_000))
+    iters = int(os.environ.get("BENCH_ITERS", 20))
+
+    cfg = MapConfig(max_points=n_points)  # 0.04 m, 8 m -> 202x202, ray 2 m
+    state = init_state(cfg)
+    w = default_weights()
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-4, 4, (n_points, 3)).astype(np.float32)
+    pts[:, 2] = rng.uniform(-0.2, 0.5, n_points).astype(np.float32)
+    points = jnp.asarray(pts)
+    mask = jnp.ones((n_points,), bool)
+    R = jnp.eye(3)
+    t = jnp.asarray([0.0, 0.0, 0.6], jnp.float32)
+    zero = jnp.float32(0.0)
+
+    def step(s):
+        return core.update_pointcloud(s, points, mask, R, t, zero, zero, w, cfg)
+
+    def sync(s):
+        # force full materialization with a scalar fetch: on tunneled
+        # backends block_until_ready can return before execution finishes
+        return float(jnp.sum(s.layers[2]))
+
+    # warmup/compile
+    state = step(state)
+    sync(state)
+
+    lat = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        state = step(state)
+        sync(state)
+        lat.append(time.perf_counter() - t0)
+
+    lat = np.asarray(lat)
+    med = float(np.median(lat))
+    pps = n_points / med
+    target = 1_000_000.0  # BASELINE.json: >=1M points/s/chip
+    result = {
+        "metric": "points/s/chip",
+        "value": round(pps),
+        "unit": "points/s",
+        "vs_baseline": round(pps / target, 3),
+        "extra": {
+            "map": f"{cfg.cell_n}x{cfg.cell_n}@{cfg.resolution}m",
+            "points_per_cloud": n_points,
+            "median_update_s": round(med, 4),
+            "p99_update_s": round(float(np.percentile(lat, 99)), 4),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

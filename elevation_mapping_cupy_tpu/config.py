@@ -79,6 +79,12 @@ class MapConfig:
     max_ray_length: float = 2.0
     cleanup_step: float = 0.01
     cleanup_cos_thresh: float = 0.5
+    # raycast backend: "polar" = O(1)-scatter shadow-cube formulation (fast,
+    # tolerance-level approximation at bucket boundaries); "exact" = per-step
+    # march matching the reference semantics bit-for-bit (slow on TPU).
+    raycast_mode: str = "polar"
+    raycast_azimuth_bins: int = 512
+    raycast_elevation_bins: int = 128
 
     # --- validity ramp ---
     min_valid_distance: float = 0.3

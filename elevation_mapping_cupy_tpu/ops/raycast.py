@@ -21,10 +21,26 @@ from ..config import MapConfig
 from . import scatter
 from .geometry import PointAssociation, cell_indices, flat_cell_index, is_inside
 
-__all__ = ["visibility_cleanup"]
+__all__ = ["visibility_cleanup", "visibility_cleanup_exact", "visibility_cleanup_polar"]
 
 
 def visibility_cleanup(
+    layers: jax.Array,
+    normal: jax.Array,
+    assoc: PointAssociation,
+    inlier_cnt: jax.Array,
+    t: jax.Array,
+    cfg: MapConfig,
+) -> jax.Array:
+    """Dispatch on cfg.raycast_mode ("polar" fast / "exact" reference-parity)."""
+    if not cfg.enable_visibility_cleanup or cfg.n_ray_steps <= 0:
+        return layers
+    if cfg.raycast_mode == "polar":
+        return visibility_cleanup_polar(layers, normal, assoc, inlier_cnt, t, cfg)
+    return visibility_cleanup_exact(layers, normal, assoc, inlier_cnt, t, cfg)
+
+
+def visibility_cleanup_exact(
     layers: jax.Array,
     normal: jax.Array,
     assoc: PointAssociation,
@@ -131,3 +147,235 @@ def visibility_cleanup(
     flat = flat.at[5].set(jnp.where(wrote, ubmin, flat[5]))
     flat = flat.at[6].set(jnp.where(wrote, 1.0, flat[6]))
     return flat.reshape(7, n, n)
+
+
+def _ring_prefix_query(pref: jax.Array, total: jax.Array, lo: jax.Array, hi: jax.Array, A: int):
+    """Wrapped range-sum over a ring using an azimuth prefix sum.
+
+    pref: (A, ...) inclusive prefix along axis 0; total = pref[-1].
+    Returns sum over azimuth indices in the wrapped window [lo, hi].
+    """
+    hi_v = pref[hi % A]
+    lo_m1 = (lo - 1) % A
+    lo_v = jnp.where((lo % A) == 0, 0.0, pref[lo_m1])
+    wrapped = (lo % A) > (hi % A)
+    direct = hi_v - lo_v
+    inv = total - (lo_v - hi_v)
+    return jnp.where(wrapped, inv, direct)
+
+
+def visibility_cleanup_polar(
+    layers: jax.Array,
+    normal: jax.Array,
+    assoc: PointAssociation,
+    inlier_cnt: jax.Array,
+    t: jax.Array,
+    cfg: MapConfig,
+) -> jax.Array:
+    """Shadow-cube visibility cleanup — the TPU-native formulation.
+
+    Instead of marching every ray (one gather/scatter round per step on a
+    vector machine, custom_kernels.py:198-259), rays are binned ONCE into an
+    (azimuth A, radius R, elevation S) cube holding {count, sum(1/ray_len),
+    min slope}; a suffix scan along R turns it into "rays still active at
+    radius >= r" aggregates, an azimuth prefix sum / ring min-pyramid makes
+    the azimuth axis range-queryable. Each map cell then answers its
+    penetration query with a handful of row gathers at (its azimuth window,
+    its radius) plus a reduction over the S elevation buckets whose
+    slope/inclination conditions it satisfies.
+
+    Semantics match visibility_cleanup_exact up to tolerance-level
+    quantization (azimuth window vs. exact march line, elevation-bucket
+    boundaries, one-ray_step radius binning). Cell-side gates (validity,
+    time, wall count, border) and the decrement/variance/upper-bound
+    arithmetic are exact. Key identity: the reference's endpoint-proximity
+    test d < 0.1 is (ray_len - s)^2 along the ray, so a ray is active
+    exactly while s <= len3d - sqrt(0.1).
+
+    Cost: ONE scatter over the cloud + dense scans + O(1) row gathers.
+    """
+    import math as _math
+
+    n = cfg.cell_n
+    A = cfg.raycast_azimuth_bins
+    S = cfg.raycast_elevation_bins
+    R = cfg.n_ray_steps + 2
+    step = cfg.ray_step
+    dt = layers.dtype
+    two_pi = 2.0 * _math.pi
+
+    p = assoc.world
+    v = p - t
+    len_xy = jnp.sqrt(v[:, 0] ** 2 + v[:, 1] ** 2)
+    len3d = jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1), 1e-30))
+    phi = jnp.arctan2(v[:, 2], len_xy)                    # elevation
+    az = jnp.arctan2(v[:, 1], v[:, 0])                    # azimuth [-pi, pi]
+    slope = v[:, 2] / jnp.maximum(len_xy, 1e-30)          # tan(phi)
+
+    a_idx = jnp.clip(((az + _math.pi) * (A / two_pi)).astype(jnp.int32), 0, A - 1)
+    s_idx = jnp.clip(((phi + _math.pi / 2) * (S / _math.pi)).astype(jnp.int32), 0, S - 1)
+
+    ray_len = jnp.minimum(len3d, cfg.max_ray_length)
+    s_max = jnp.minimum(len3d - jnp.sqrt(0.1), ray_len)   # active span (see doc)
+    r_act = jnp.cos(phi) * s_max                          # xy radius bound
+    r_idx = jnp.clip(jnp.round(r_act / step).astype(jnp.int32), 0, R - 1)
+    active = assoc.valid & (r_act > 0) & (len3d > 0)
+
+    cube_idx = (a_idx * R + r_idx) * S + s_idx            # layout (A, R, S)
+    inv_len = 1.0 / jnp.maximum(ray_len, 1e-30)
+
+    sums = scatter.scatter_add_multi(
+        A * R * S, cube_idx, [jnp.ones_like(inv_len), inv_len], active
+    )
+    cnt_cube = sums[0].reshape(A, R, S)
+    inv_cube = sums[1].reshape(A, R, S)
+    slope_cube = scatter.scatter_min(
+        A * R * S, cube_idx, slope, active, jnp.inf
+    ).reshape(A, R, S)
+
+    # suffix scans along R: "rays with r_act >= r"
+    cnt_suf = jnp.flip(jnp.cumsum(jnp.flip(cnt_cube, 1), axis=1), 1)
+    inv_suf = jnp.flip(jnp.cumsum(jnp.flip(inv_cube, 1), axis=1), 1)
+    slope_suf = jnp.flip(
+        jax.lax.associative_scan(jnp.minimum, jnp.flip(slope_cube, 1), axis=1), 1
+    )
+
+    # azimuth prefix for range sums; pack cnt+inv into one (A, R, 2S) tensor
+    packed = jnp.concatenate([cnt_suf, inv_suf], axis=-1)
+    pref = jnp.cumsum(packed, axis=0)                     # (A, R, 2S)
+    total = pref[-1]                                      # (R, 2S)
+
+    # ring min-pyramid over azimuth: level l = window [a, a + 2^l).
+    # Capped at 2^6: only cells within ~6 cells of the sensor need wider
+    # windows, and an under-covered min there errs conservative (higher min,
+    # fewer upper-bound writes).
+    n_levels = min(6, max(1, _math.ceil(_math.log2(A))))
+    levels = [slope_suf]
+    for l in range(1, n_levels + 1):
+        prev = levels[-1]
+        levels.append(jnp.minimum(prev, jnp.roll(prev, -(1 << (l - 1)), axis=0)))
+    pyramid = jnp.stack(levels)                           # (L+1, A, R, S)
+
+    # ---- per-cell evaluation ----
+    i = jnp.arange(n * n)
+    cx = ((i // n).astype(dt) + 0.5 - 0.5 * n) * cfg.resolution - t[0]
+    cy = ((i % n).astype(dt) + 0.5 - 0.5 * n) * cfg.resolution - t[1]
+    r_c = jnp.sqrt(cx * cx + cy * cy)
+    a_c = jnp.arctan2(cy, cx)
+    ai = jnp.clip(((a_c + _math.pi) * (A / two_pi)).astype(jnp.int32), 0, A - 1)
+    ri = jnp.clip(jnp.round(r_c / step).astype(jnp.int32), 0, R - 1)
+    in_range = (r_c <= cfg.max_ray_length) & (r_c >= step * 0.5)
+
+    # azimuth half-window = the cell's true crossing band for rays at this
+    # azimuth: a line at grid angle theta crosses cells over a perpendicular
+    # band of width res*(|cos|+|sin|)
+    abs_c = jnp.abs(jnp.cos(a_c))
+    abs_s = jnp.abs(jnp.sin(a_c))
+    band = cfg.resolution * (abs_c + abs_s)
+    half_ang = jnp.arctan2(0.5 * band, jnp.maximum(r_c, 1e-6))
+    hw = jnp.clip((half_ang * (A / two_pi)).astype(jnp.int32), 0, A // 2 - 1)
+    lo = ai - hw
+    hi = ai + hw
+    width = 2 * hw + 1
+
+    # single-row gathers at the joint (azimuth, radius) index — no large
+    # intermediates
+    pref_flat = pref.reshape(A * R, 2 * S)
+    hi_rows = pref_flat[(hi % A) * R + ri]
+    lo_rows0 = pref_flat[((lo - 1) % A) * R + ri]
+    zero_lo = (lo % A) == 0
+    lo_rows = jnp.where(zero_lo[:, None], 0.0, lo_rows0)
+    tot_rows = total.reshape(R, 2 * S)[ri]
+    wrapped = (lo % A) > (hi % A)
+    sums_rows = jnp.where(
+        wrapped[:, None], tot_rows - (lo_rows - hi_rows), hi_rows - lo_rows
+    )
+    cnt_k = sums_rows[:, :S]
+    inv_k = sums_rows[:, S:]
+
+    # windowed min query: level l = ceil(log2(width)); two windows cover it
+    lvl = jnp.ceil(jnp.log2(width.astype(dt))).astype(jnp.int32)
+    lvl = jnp.clip(lvl, 0, n_levels)
+    start1 = lo % A
+    start2 = (lo + width - (1 << lvl)) % A
+    pyr_flat = pyramid.reshape((n_levels + 1) * A * R, S)
+    m1 = pyr_flat[(lvl * A + start1) * R + ri]
+    m2 = pyr_flat[(lvl * A + start2) * R + ri]
+    slope_k_min = jnp.minimum(m1, m2)                     # (n*n, S)
+
+    flatL = layers.reshape(7, -1)
+    cell_h = flatL[0]
+    cell_v = flatL[1]
+    cell_valid = flatL[2]
+    cell_t = flatL[4]
+    cell_ub = flatL[5]
+    cell_iub = flatL[6]
+    nrm = normal.reshape(3, -1)
+    ic = inlier_cnt.reshape(-1)
+
+    row_i = i // n
+    col_i = i % n
+    inside = (row_i > 0) & (row_i < n - 1) & (col_i > 0) & (col_i < n - 1)
+
+    phi_k = (jnp.arange(S, dtype=dt) + 0.5) * (_math.pi / S) - _math.pi / 2
+    tan_k = jnp.tan(phi_k)
+    cos_pk = jnp.cos(phi_k)
+    sin_pk = jnp.sin(phi_k)
+
+    safe_r = jnp.maximum(r_c, 1e-6)
+
+    # The exact march's same-cell dedup evaluates each cell at its ENTRY
+    # sample, not its center: expected evaluation radius is r_c minus half
+    # the mean chord (res^2 / band) plus half the xy sample spacing.
+    delta_k = cfg.ray_step * cos_pk                         # (S,) xy spacing
+    mean_chord = cfg.resolution**2 / jnp.maximum(band, 1e-9)
+    r_eval = jnp.maximum(
+        safe_r[:, None] - 0.5 * mean_chord[:, None] + 0.5 * delta_k[None, :],
+        1e-6,
+    )                                                        # (n*n, S)
+
+    s_star_num = cell_h - 0.01 + jnp.minimum(cell_v, 1.0) * 0.05 - t[2]
+    pen_k = tan_k[None, :] * r_eval < s_star_num[:, None]
+
+    g_c = jnp.cos(a_c) * nrm[0] + jnp.sin(a_c) * nrm[1]
+    dot_k = jnp.abs(g_c[:, None] * cos_pk[None, :] + nrm[2][:, None] * sin_pk[None, :])
+    cos_ok = dot_k >= cfg.cleanup_cos_thresh
+
+    # Sampling-acceptance correction: the march only registers a crossing if
+    # a sample lands inside the cell — P(hit | chord l) = min(1, l / delta).
+    # Integrated over the chord profile of a square for grid angle theta this
+    # gives an effective band  W_eff = band - delta*|cos||sin|  (delta below
+    # the max chord) continuing to  res^2/delta  (above). Weight per bucket:
+    mx = jnp.maximum(abs_c, abs_s)
+    w_lin = band[:, None] - delta_k[None, :] * (abs_c * abs_s)[:, None]
+    w_sat = (cfg.resolution**2) / jnp.maximum(delta_k[None, :], 1e-9)
+    use_sat = delta_k[None, :] >= (cfg.resolution / jnp.maximum(mx, 1e-9))[:, None]
+    w_eff = jnp.where(use_sat, w_sat, w_lin)
+    accept_k = jnp.clip(w_eff / jnp.maximum(band[:, None], 1e-9), 0.0, 1.0)
+
+    has_rays = cnt_k > 0.5
+    is_invalid = cell_valid < 0.5
+    not_recent = cell_t >= 0.5
+    wall_skip = (ic > cfg.wall_num_thresh) & (cell_t < 1.0)
+    cell_gate = in_range & inside & ~is_invalid & not_recent & ~wall_skip
+
+    hit_k = has_rays & pen_k & cos_ok & cell_gate[:, None]
+    dec = cfg.cleanup_step * cfg.max_ray_length * jnp.sum(
+        jnp.where(hit_k, inv_k * accept_k, 0.0), axis=1
+    )
+    var = cfg.outlier_variance * jnp.sum(jnp.where(hit_k, cnt_k * accept_k, 0.0), axis=1)
+
+    # upper-bound candidates: min ray height per bucket at the eval radius
+    nz_k = t[2] + r_eval * slope_k_min
+    ub_cond_k = (cell_iub[:, None] < 0.5) | (nz_k < cell_ub[:, None])
+    candA = (in_range & inside & is_invalid)[:, None] & has_rays & ub_cond_k
+    candB = hit_k & ub_cond_k
+    cand = candA | candB
+    ubmin = jnp.min(jnp.where(cand, nz_k, jnp.inf), axis=1)
+    wrote = jnp.isfinite(ubmin)
+
+    flatL = flatL.at[2].add(-dec.astype(dt))
+    flatL = flatL.at[1].add(var.astype(dt))
+    flatL = flatL.at[5].set(jnp.where(wrote, ubmin.astype(dt), flatL[5]))
+    flatL = flatL.at[6].set(jnp.where(wrote, 1.0, flatL[6]))
+    return flatL.reshape(7, n, n)

@@ -1,0 +1,103 @@
+"""Spatially-sharded maps with halo exchange over the device mesh.
+
+For maps larger than one chip's comfortable working set (or pods of envs that
+share one world map), the grid is sharded row-block-wise across a mesh axis
+and stencil ops exchange `halo` boundary rows with ring neighbors via
+``lax.ppermute`` over ICI — the stencil analogue of ring attention
+(SURVEY §5 long-context note). Recentering (jnp.roll) under sharding also
+crosses shard borders; XLA lowers it to collective permutes automatically
+inside jit, so only explicit-stencil code needs manual halos.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["halo_exchange_rows", "sharded_stencil", "sharded_uniform_smooth", "sharded_dilation"]
+
+
+def halo_exchange_rows(x: jax.Array, halo: int, axis_name: str) -> jax.Array:
+    """Pad a row-sharded block (h, w) with `halo` rows from ring neighbors.
+
+    Edge shards receive zero rows (map border semantics). Returns
+    (h + 2*halo, w).
+    """
+    n = jax.lax.psum(1, axis_name)
+    idx = jax.lax.axis_index(axis_name)
+
+    top_send = x[:halo]       # my top rows -> previous shard's bottom halo
+    bot_send = x[-halo:]      # my bottom rows -> next shard's top halo
+
+    # ppermute: send to (i-1) to fill their bottom halo; send to (i+1) for top
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+    from_prev = jax.lax.ppermute(bot_send, axis_name, fwd)   # rows above my block
+    from_next = jax.lax.ppermute(top_send, axis_name, bwd)   # rows below my block
+
+    zero = jnp.zeros_like(from_prev)
+    top_halo = jnp.where(idx == 0, zero, from_prev)
+    bot_halo = jnp.where(idx == n - 1, jnp.zeros_like(from_next), from_next)
+    return jnp.concatenate([top_halo, x, bot_halo], axis=0)
+
+
+def sharded_stencil(
+    fn: Callable[[jax.Array], jax.Array],
+    mesh: Mesh,
+    halo: int,
+    axis_name: str = "x",
+):
+    """Lift a (H, W)->(H, W) stencil with radius ≤ halo onto a row-sharded map.
+
+    `fn` must treat its input as a standalone block (it sees halo rows); the
+    output's halo rows are dropped.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    def block(xb: jax.Array) -> jax.Array:
+        padded = halo_exchange_rows(xb, halo, axis_name)
+        out = fn(padded)
+        return out[halo:-halo]
+
+    return shard_map(
+        block,
+        mesh=mesh,
+        in_specs=P(axis_name, None),
+        out_specs=P(axis_name, None),
+    )
+
+
+def _smooth_block(x: jax.Array, passes: int = 2, size: int = 3) -> jax.Array:
+    pad = size // 2
+    out = x
+    for _ in range(passes):
+        p = jnp.pad(out, pad, mode="symmetric")
+        acc = jnp.zeros_like(out)
+        for dy in range(size):
+            for dx in range(size):
+                acc = acc + p[dy : dy + out.shape[0], dx : dx + out.shape[1]]
+        out = acc / (size * size)
+    return out
+
+
+def sharded_uniform_smooth(mesh: Mesh, passes: int = 2, size: int = 3, axis_name: str = "x"):
+    """Row-sharded version of stencil.uniform_smooth with halo exchange."""
+    halo = passes * (size // 2)
+    return sharded_stencil(lambda x: _smooth_block(x, passes, size), mesh, halo, axis_name)
+
+
+def sharded_dilation(mesh: Mesh, size: int, axis_name: str = "x"):
+    """Row-sharded morphological max-dilation (planning-map helper)."""
+    def block(x):
+        p = jnp.pad(x, size, mode="constant", constant_values=-jnp.inf)
+        out = jnp.full_like(x, -jnp.inf)
+        for dy in range(2 * size + 1):
+            for dx in range(2 * size + 1):
+                out = jnp.maximum(out, p[dy : dy + x.shape[0], dx : dx + x.shape[1]])
+        return out
+
+    return sharded_stencil(block, mesh, size, axis_name)

@@ -1,0 +1,426 @@
+"""On-device plane extraction: sliding-window planarity + connected components.
+
+TPU-native re-derivation of the reference C++ pipeline
+(plane_segmentation/convex_plane_decomposition/src/sliding_window_plane_extraction/
+SlidingWindowPlaneExtractor.cpp):
+
+  * per-cell kxk window covariance → closed-form symmetric 3x3 eigensolver →
+    surface normal + mean-squared plane error (:19-41, :82-110). The per-cell
+    CPU loop becomes shifted-gather accumulators over the whole grid (VPU).
+  * local planarity test (:112-118)
+  * optional morphological opening (:137-143)
+  * connected components (cv::connectedComponents, :147-150) as iterative
+    min-label propagation in a bounded while_loop
+  * per-label plane fit via masked reductions + global planarity / inclination
+    gates (:152-218). CGAL RANSAC refinement runs host-side (ransac.py).
+
+Also includes the preprocessing stage (GridMapPreprocessing.cpp:14-39):
+min-values inpaint → median denoise.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "PlaneSegParams",
+    "eigh3_smallest",
+    "sliding_window_normals",
+    "connected_components",
+    "extract_planes",
+    "preprocess",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class PlaneSegParams:
+    """Mirrors SlidingWindowPlaneExtractorParameters.h defaults."""
+
+    kernel_size: int = 3
+    planarity_opening_filter: int = 0
+    plane_inclination_threshold: float = math.cos(math.radians(30.0))
+    local_plane_inclination_threshold: float = math.cos(math.radians(35.0))
+    plane_patch_error_threshold: float = 0.02
+    min_number_points_per_label: int = 4
+    connectivity: int = 4
+    global_plane_fit_distance_error_threshold: float = 0.025
+    global_plane_fit_angle_error_threshold_degrees: float = 25.0
+    max_labels: int = 64               # static bound on plane count
+    cc_iterations: int = 0             # 0 → 2*(H+W) default
+    include_ransac_refinement: bool = False  # host-side option
+
+
+def eigh3_smallest(A: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Batched closed-form eigen-solve of symmetric 3x3 matrices.
+
+    A: (..., 3, 3). Returns (lambda_min, lambda_mid, v_min) where v_min is the
+    unit eigenvector of the smallest eigenvalue (the plane normal candidate).
+    Uses the trigonometric method — branch-free, maps to the VPU.
+    """
+    a00 = A[..., 0, 0]
+    a11 = A[..., 1, 1]
+    a22 = A[..., 2, 2]
+    a01 = A[..., 0, 1]
+    a02 = A[..., 0, 2]
+    a12 = A[..., 1, 2]
+
+    p1 = a01 * a01 + a02 * a02 + a12 * a12
+    q = (a00 + a11 + a22) / 3.0
+    p2 = (a00 - q) ** 2 + (a11 - q) ** 2 + (a22 - q) ** 2 + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 1e-30))
+
+    b00 = (a00 - q) / p
+    b11 = (a11 - q) / p
+    b22 = (a22 - q) / p
+    b01 = a01 / p
+    b02 = a02 / p
+    b12 = a12 / p
+    detB = (
+        b00 * (b11 * b22 - b12 * b12)
+        - b01 * (b01 * b22 - b12 * b02)
+        + b02 * (b01 * b12 - b11 * b02)
+    )
+    r = jnp.clip(detB / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    e1 = q + 2.0 * p * jnp.cos(phi)                       # largest
+    e3 = q + 2.0 * p * jnp.cos(phi + 2.0 * math.pi / 3.0)  # smallest
+    e2 = 3.0 * q - e1 - e3
+
+    diagish = p2 < 1e-24
+    e1 = jnp.where(diagish, a00, e1)
+    e2 = jnp.where(diagish, a11, e2)
+    e3 = jnp.where(diagish, a22, e3)
+
+    # eigenvector of e3: cross products of rows of (A - e3 I)
+    m00 = a00 - e3
+    m11 = a11 - e3
+    m22 = a22 - e3
+    r0 = jnp.stack([m00, a01, a02], axis=-1)
+    r1 = jnp.stack([a01, m11, a12], axis=-1)
+    r2 = jnp.stack([a02, a12, m22], axis=-1)
+    c01 = jnp.cross(r0, r1)
+    c02 = jnp.cross(r0, r2)
+    c12 = jnp.cross(r1, r2)
+    n01 = jnp.sum(c01 * c01, axis=-1)
+    n02 = jnp.sum(c02 * c02, axis=-1)
+    n12 = jnp.sum(c12 * c12, axis=-1)
+    best = jnp.stack([n01, n02, n12], axis=-1)
+    which = jnp.argmax(best, axis=-1)
+    cand = jnp.stack([c01, c02, c12], axis=-2)            # (..., 3 cands, 3)
+    v = jnp.take_along_axis(cand, which[..., None, None], axis=-2)[..., 0, :]
+    norm = jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), 1e-30))
+    v = v / norm
+    degenerate = jnp.max(best, axis=-1) < 1e-30
+    unit_z = jnp.zeros_like(v).at[..., 2].set(1.0)
+    v = jnp.where(degenerate[..., None], unit_z, v)
+    return e3, e2, v
+
+
+def sliding_window_normals(
+    height: jax.Array,       # (H, W) heights, NaN = missing
+    resolution: float,
+    params: PlaneSegParams,
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-cell window plane fit. Returns (normals (3, H, W), planar (H, W)).
+
+    Edge cells (EMPTY edge handling) and cells with NaN centers are not
+    planar; normals default to +Z flip like the reference.
+    """
+    H, W = height.shape
+    k = params.kernel_size
+    half = (k - 1) // 2
+    finite = jnp.isfinite(height)
+    z = jnp.where(finite, height, 0.0)
+
+    # accumulate window sums with shifted gathers; offsets use the window-local
+    # coordinates (-kr*res, -kc*res) like computeNormalAndErrorForWindow
+    pads = [(half, half), (half, half)]
+    zp = jnp.pad(z, pads)
+    mp = jnp.pad(finite.astype(z.dtype), pads)
+
+    n = jnp.zeros_like(z)
+    sx = jnp.zeros_like(z)
+    sy = jnp.zeros_like(z)
+    sz = jnp.zeros_like(z)
+    sxx = jnp.zeros_like(z)
+    sxy = jnp.zeros_like(z)
+    sxz = jnp.zeros_like(z)
+    syy = jnp.zeros_like(z)
+    syz = jnp.zeros_like(z)
+    szz = jnp.zeros_like(z)
+    for kr in range(k):
+        for kc in range(k):
+            x_o = -kr * resolution
+            y_o = -kc * resolution
+            zs = zp[kr : kr + H, kc : kc + W]
+            ms = mp[kr : kr + H, kc : kc + W]
+            n += ms
+            sx += x_o * ms
+            sy += y_o * ms
+            sz += zs * ms
+            sxx += x_o * x_o * ms
+            sxy += x_o * y_o * ms
+            sxz += x_o * zs * ms
+            syy += y_o * y_o * ms
+            syz += y_o * zs * ms
+            szz += zs * zs * ms
+
+    safe_n = jnp.maximum(n, 1.0)
+    mx = sx / safe_n
+    my = sy / safe_n
+    mz = sz / safe_n
+    c00 = sxx / safe_n - mx * mx
+    c01 = sxy / safe_n - mx * my
+    c02 = sxz / safe_n - mx * mz
+    c11 = syy / safe_n - my * my
+    c12 = syz / safe_n - my * mz
+    c22 = szz / safe_n - mz * mz
+    cov = jnp.stack(
+        [
+            jnp.stack([c00, c01, c02], -1),
+            jnp.stack([c01, c11, c12], -1),
+            jnp.stack([c02, c12, c22], -1),
+        ],
+        axis=-2,
+    )
+    lam_min, lam_mid, v = eigh3_smallest(cov)
+    flip = v[..., 2] < 0
+    v = jnp.where(flip[..., None], -v, v)
+    defined = lam_mid > 1e-8
+    sq_err = jnp.where(defined, jnp.maximum(lam_min, 0.0), 1e30)
+    unit_z = jnp.zeros_like(v).at[..., 2].set(1.0)
+    v = jnp.where(defined[..., None], v, unit_z)
+
+    enough = n >= 3
+    sq_err = jnp.where(enough, sq_err, 1e30)
+    v = jnp.where(enough[..., None], v, unit_z)
+
+    thresh2 = params.plane_patch_error_threshold**2
+    planar = (sq_err < thresh2) & (v[..., 2] > params.local_plane_inclination_threshold)
+
+    # EMPTY edge handling: windows not fully inside are not visited
+    row = jnp.arange(H)[:, None]
+    col = jnp.arange(W)[None, :]
+    interior = (row >= half) & (row < H - half) & (col >= half) & (col < W - half)
+    planar = planar & interior & finite
+
+    if params.planarity_opening_filter > 0:
+        r = params.planarity_opening_filter
+        planar = _morph_cross(planar, r, erode=True)
+        planar = _morph_cross(planar, r, erode=False)
+
+    normals = jnp.moveaxis(jnp.where(interior[..., None], v, unit_z * 0), -1, 0)
+    return normals, planar
+
+
+def _morph_cross(mask: jax.Array, r: int, erode: bool) -> jax.Array:
+    """Morphological erode/dilate with a cross structuring element of radius r
+    (cv::MORPH_CROSS), BORDER_REPLICATE."""
+    m = mask
+    out = mask
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            if abs(dy) + abs(dx) > r or (dy == 0 and dx == 0):
+                continue
+            shifted = jnp.roll(m, (dy, dx), axis=(0, 1))
+            # replicate border: re-fill wrapped rows/cols with edge values
+            if dy > 0:
+                shifted = shifted.at[:dy].set(shifted[dy : dy + 1])
+            elif dy < 0:
+                shifted = shifted.at[dy:].set(shifted[dy - 1 : dy])
+            if dx > 0:
+                shifted = shifted.at[:, :dx].set(shifted[:, dx : dx + 1])
+            elif dx < 0:
+                shifted = shifted.at[:, dx:].set(shifted[:, dx - 1 : dx])
+            out = out & shifted if erode else out | shifted
+    return out
+
+
+def connected_components(mask: jax.Array, connectivity: int = 4, max_iters: int = 0) -> jax.Array:
+    """4/8-connected component labels: 0 = background, components keep the
+    (flat-index+1) of their minimal member — made compact by extract_planes."""
+    H, W = mask.shape
+    if max_iters <= 0:
+        max_iters = 2 * (H + W)
+    init = jnp.where(mask, jnp.arange(1, H * W + 1).reshape(H, W), 0)
+    big = H * W + 2
+
+    if connectivity == 4:
+        offsets = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    else:
+        offsets = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1) if (dy, dx) != (0, 0)]
+
+    def step(labels):
+        best = jnp.where(mask, labels, big)
+        for dy, dx in offsets:
+            nb = jnp.roll(labels, (dy, dx), axis=(0, 1))
+            # zero out wrapped borders
+            if dy > 0:
+                nb = nb.at[:dy].set(0)
+            elif dy < 0:
+                nb = nb.at[dy:].set(0)
+            if dx > 0:
+                nb = nb.at[:, :dx].set(0)
+            elif dx < 0:
+                nb = nb.at[:, dx:].set(0)
+            cand = jnp.where(mask & (nb > 0), nb, big)
+            best = jnp.minimum(best, cand)
+        return jnp.where(mask, best, 0)
+
+    def cond(carry):
+        labels, prev, it = carry
+        return (it < max_iters) & jnp.any(labels != prev)
+
+    def body(carry):
+        labels, _, it = carry
+        return step(labels), labels, it + 1
+
+    labels, _, _ = jax.lax.while_loop(cond, body, (step(init), init, 0))
+    return labels
+
+
+class PlaneExtraction(NamedTuple):
+    labels: jax.Array        # (H, W) int32 compact labels, 0 = background
+    normals: jax.Array       # (3, H, W) per-cell surface normals
+    plane_normals: jax.Array  # (max_labels, 3) per-plane normal (row 0 unused)
+    plane_support: jax.Array  # (max_labels, 3) per-plane support point
+    plane_valid: jax.Array   # (max_labels,) bool
+    needs_refine: jax.Array  # (max_labels,) bool — failed global-planarity (RANSAC candidates)
+
+
+@functools.partial(jax.jit, static_argnames=("resolution", "params"))
+def extract_planes(
+    height: jax.Array,        # (H, W), NaN = missing
+    resolution: float,
+    params: PlaneSegParams,
+    map_origin: jax.Array = None,  # (2,) world position of cell (0,0)
+) -> PlaneExtraction:
+    H, W = height.shape
+    if map_origin is None:
+        map_origin = jnp.zeros((2,), height.dtype)
+
+    normals, planar = sliding_window_normals(height, resolution, params)
+    raw_labels = connected_components(planar, params.connectivity)
+
+    # compact to [1, max_labels]; pad with a +inf-like sentinel so the array
+    # stays sorted for searchsorted (fill_value=0 would break the order)
+    sentinel = jnp.iinfo(jnp.int32).max
+    with_bg = jnp.concatenate([raw_labels.reshape(-1), jnp.zeros((1,), raw_labels.dtype)])
+    uniq = jnp.unique(with_bg, size=params.max_labels + 1, fill_value=sentinel)
+    compact = jnp.searchsorted(uniq, raw_labels).astype(jnp.int32)
+    compact = jnp.where(raw_labels > 0, compact, 0)
+    compact = jnp.clip(compact, 0, params.max_labels)
+
+    # per-label plane fit in world coordinates (:167-175)
+    row = jnp.arange(H)[:, None] * jnp.ones((1, W))
+    col = jnp.ones((H, 1)) * jnp.arange(W)[None, :]
+    px = map_origin[0] - row * resolution
+    py = map_origin[1] - col * resolution
+    finite = jnp.isfinite(height)
+    pz = jnp.where(finite, height, 0.0)
+
+    L = params.max_labels + 1
+    flat_lab = jnp.where(finite, compact, 0).reshape(-1)
+    ones = finite.astype(height.dtype).reshape(-1)
+
+    def seg(v):
+        return jax.ops.segment_sum(v.reshape(-1) * ones, flat_lab, num_segments=L)
+
+    n = seg(jnp.ones_like(pz))
+    sx, sy, sz = seg(px), seg(py), seg(pz)
+    sxx, sxy, sxz = seg(px * px), seg(px * py), seg(px * pz)
+    syy, syz, szz = seg(py * py), seg(py * pz), seg(pz * pz)
+    safe_n = jnp.maximum(n, 1.0)
+    mean = jnp.stack([sx, sy, sz], -1) / safe_n[:, None]
+    c00 = sxx / safe_n - mean[:, 0] ** 2
+    c01 = sxy / safe_n - mean[:, 0] * mean[:, 1]
+    c02 = sxz / safe_n - mean[:, 0] * mean[:, 2]
+    c11 = syy / safe_n - mean[:, 1] ** 2
+    c12 = syz / safe_n - mean[:, 1] * mean[:, 2]
+    c22 = szz / safe_n - mean[:, 2] ** 2
+    cov = jnp.stack(
+        [
+            jnp.stack([c00, c01, c02], -1),
+            jnp.stack([c01, c11, c12], -1),
+            jnp.stack([c02, c12, c22], -1),
+        ],
+        axis=-2,
+    )
+    _, _, pn = eigh3_smallest(cov)
+    pn = jnp.where(pn[:, 2:3] < 0, -pn, pn)
+
+    # global planarity check per cell, reduced per label (:276-299)
+    pn_cells = pn[compact]                                # (H, W, 3)
+    mean_cells = mean[compact]
+    ndotp = pn_cells[..., 0] * px + pn_cells[..., 1] * py + pn_cells[..., 2] * pz
+    ndots = jnp.sum(pn_cells * mean_cells, axis=-1)
+    dist_err = jnp.abs(ndotp - ndots)
+    cell_norm = jnp.moveaxis(normals, 0, -1)
+    ndotn = jnp.sum(pn_cells * cell_norm, axis=-1)
+    cos_thresh = math.cos(math.radians(params.global_plane_fit_angle_error_threshold_degrees))
+    bad = (dist_err > params.global_plane_fit_distance_error_threshold) | (ndotn < cos_thresh)
+    bad = bad & (compact > 0) & finite
+    label_bad = jax.ops.segment_max(
+        bad.astype(jnp.int32).reshape(-1), flat_lab, num_segments=L
+    ).astype(bool)
+
+    enough = (n >= params.min_number_points_per_label) & (n >= 3)
+    within_incl = pn[:, 2] > params.plane_inclination_threshold
+    valid = enough & within_incl & ~label_bad
+    valid = valid.at[0].set(False)
+    needs_refine = enough & label_bad
+    needs_refine = needs_refine.at[0].set(False)
+
+    # labels failing all gates go to background (:198-216)
+    keep = (valid | needs_refine)[compact]
+    labels_out = jnp.where(keep, compact, 0).astype(jnp.int32)
+
+    return PlaneExtraction(
+        labels=labels_out,
+        normals=normals,
+        plane_normals=pn,
+        plane_support=mean,
+        plane_valid=valid,
+        needs_refine=needs_refine,
+    )
+
+
+# ---------------------------------------------------------------------------
+# preprocessing (GridMapPreprocessing.cpp:14-39)
+# ---------------------------------------------------------------------------
+
+def preprocess(height: jax.Array, inpaint_iters: int = 4, median_passes: int = 1) -> jax.Array:
+    """min-values inpaint (grid_map_filters_rsl inpainting::minValues,
+    inpainting.cpp:25-94) then 3x3 median denoise."""
+    H, W = height.shape
+    h = height
+    for _ in range(inpaint_iters):
+        missing = ~jnp.isfinite(h)
+        best = jnp.full_like(h, jnp.inf)
+        for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+            nb = jnp.roll(h, (dy, dx), axis=(0, 1))
+            if dy > 0:
+                nb = nb.at[:dy].set(jnp.nan)
+            elif dy < 0:
+                nb = nb.at[dy:].set(jnp.nan)
+            if dx > 0:
+                nb = nb.at[:, :dx].set(jnp.nan)
+            elif dx < 0:
+                nb = nb.at[:, dx:].set(jnp.nan)
+            best = jnp.minimum(best, jnp.where(jnp.isfinite(nb), nb, jnp.inf))
+        h = jnp.where(missing & jnp.isfinite(best), best, h)
+
+    for _ in range(median_passes):
+        pad = jnp.pad(h, 1, mode="edge")
+        stack = jnp.stack(
+            [pad[dy : dy + H, dx : dx + W] for dy in range(3) for dx in range(3)]
+        )
+        med = jnp.median(stack, axis=0)
+        h = jnp.where(jnp.isfinite(h), med, h)
+    return h

@@ -1,0 +1,180 @@
+"""Plane decomposition pipeline (PlaneDecompositionPipeline equivalent).
+
+Orchestrates: preprocess (inpaint + denoise, on device) → sliding-window
+plane extraction + connected components + plane fits (on device, extract.py)
+→ optional host RANSAC refinement for labels failing the global planarity
+gate → contour extraction + insets + convex approximation (host, contour.py)
+→ postprocessing layers (smooth_planar).
+
+Reference: plane_segmentation/convex_plane_decomposition/src/
+PlaneDecompositionPipeline.cpp:13-39, Postprocessing.cpp:14-31.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .contour import PlanarRegion, extract_boundaries, grow_convex_polygon
+from .extract import PlaneSegParams, extract_planes, preprocess
+from .ransac import RansacParams, detect_planes
+
+__all__ = ["PlanarTerrain", "PlaneDecompositionPipeline"]
+
+
+@dataclasses.dataclass
+class PlanarTerrain:
+    regions: List[PlanarRegion]
+    labels: np.ndarray                # (H, W) final labels
+    filtered_map: np.ndarray          # preprocessed height map
+    smooth_planar: np.ndarray         # postprocessed smooth layer
+    timings: Dict[str, float]
+
+
+class PlaneDecompositionPipeline:
+    """Stateful wrapper with per-stage timing stats (the reference prints a
+    benchmark table at node destruction, ConvexPlaneDecompositionRos.cpp:28-48;
+    here: .timing_report())."""
+
+    def __init__(
+        self,
+        resolution: float,
+        params: PlaneSegParams = PlaneSegParams(),
+        ransac: RansacParams = RansacParams(),
+    ):
+        self.resolution = resolution
+        self.params = params
+        self.ransac = ransac
+        self._stats: Dict[str, List[float]] = {}
+
+    def _record(self, name: str, dt: float) -> None:
+        self._stats.setdefault(name, []).append(dt)
+
+    def timing_report(self) -> str:
+        lines = ["stage            avg_ms    max_ms    n"]
+        for k, v in self._stats.items():
+            a = np.asarray(v) * 1e3
+            lines.append(f"{k:<16} {a.mean():8.2f} {a.max():9.2f} {len(a):4d}")
+        return "\n".join(lines)
+
+    def update(self, height: np.ndarray, map_origin=(0.0, 0.0)) -> PlanarTerrain:
+        timings = {}
+
+        t0 = time.perf_counter()
+        h = preprocess(jnp.asarray(height, jnp.float32))
+        h.block_until_ready()
+        timings["preprocess"] = time.perf_counter() - t0
+        self._record("preprocess", timings["preprocess"])
+
+        t0 = time.perf_counter()
+        ext = extract_planes(h, self.resolution, self.params, jnp.asarray(map_origin, jnp.float32))
+        jax.block_until_ready(ext)
+        timings["sliding_window"] = time.perf_counter() - t0
+        self._record("sliding_window", timings["sliding_window"])
+
+        labels = np.array(ext.labels)
+        plane_normals = np.array(ext.plane_normals)
+        plane_support = np.array(ext.plane_support)
+        plane_valid = np.array(ext.plane_valid)
+        needs_refine = np.array(ext.needs_refine)
+
+        # host-side RANSAC refinement for non-globally-planar labels
+        t0 = time.perf_counter()
+        if self.params.include_ransac_refinement and needs_refine.any():
+            hnp = np.array(h)
+            normals_np = np.moveaxis(np.array(ext.normals), 0, -1)
+            next_label = int(labels.max()) + 1
+            rows, cols = np.indices(labels.shape)
+            px = map_origin[0] - rows * self.resolution
+            py = map_origin[1] - cols * self.resolution
+            for lab in np.where(needs_refine)[0]:
+                member = labels == lab
+                labels[member] = 0
+                pts = np.stack([px[member], py[member], hnp[member]], axis=-1)
+                nrms = normals_np[member]
+                planes = detect_planes(pts, nrms, self.ransac, seed=0)
+                flat_member = np.where(member.reshape(-1))[0]
+                reuse = True
+                for normal, support, idxs in planes:
+                    if normal[2] <= self.params.plane_inclination_threshold:
+                        continue
+                    newlab = lab if reuse else next_label
+                    if not reuse:
+                        next_label += 1
+                    reuse = False
+                    if newlab >= len(plane_normals):
+                        plane_normals = np.vstack([plane_normals, normal[None]])
+                        plane_support = np.vstack([plane_support, support[None]])
+                        plane_valid = np.append(plane_valid, True)
+                    else:
+                        plane_normals[newlab] = normal
+                        plane_support[newlab] = support
+                        plane_valid[newlab] = True
+                    fl = flat_member[idxs]
+                    labels.reshape(-1)[fl] = newlab
+        timings["ransac"] = time.perf_counter() - t0
+        self._record("ransac", timings["ransac"])
+
+        t0 = time.perf_counter()
+        regions = extract_boundaries(
+            labels, plane_normals, plane_support, plane_valid,
+            self.resolution, map_origin,
+        )
+        timings["contour_extraction"] = time.perf_counter() - t0
+        self._record("contour_extraction", timings["contour_extraction"])
+
+        t0 = time.perf_counter()
+        smooth = _smooth_planar_layer(h)
+        timings["postprocess"] = time.perf_counter() - t0
+        self._record("postprocess", timings["postprocess"])
+
+        timings["total"] = sum(timings.values())
+        self._record("total", timings["total"])
+        return PlanarTerrain(
+            regions=regions,
+            labels=labels,
+            filtered_map=np.array(h),
+            smooth_planar=np.array(smooth),
+            timings=timings,
+        )
+
+    def convex_approximation(
+        self, terrain: PlanarTerrain, query_xy: np.ndarray, n_vertices: int = 16
+    ) -> Optional[np.ndarray]:
+        """Grow a convex polygon inside the region containing/nearest the
+        query (SegmentedPlaneProjection + ConvexRegionGrowing)."""
+        best = None
+        best_d = np.inf
+        for region in terrain.regions:
+            b = region.boundary_with_holes.boundary
+            d = float(np.min(np.linalg.norm(b - query_xy[None], axis=1)))
+            from .contour import _point_in_poly
+
+            if _point_in_poly(query_xy, b):
+                d = 0.0
+            if d < best_d:
+                best_d = d
+                best = region
+        if best is None:
+            return None
+        return grow_convex_polygon(
+            best.boundary_with_holes.boundary,
+            best.boundary_with_holes.holes,
+            query_xy,
+            n_vertices=n_vertices,
+        )
+
+
+def _smooth_planar_layer(h: jax.Array) -> jax.Array:
+    """'smooth_planar' layer: NaN fill → box+gauss-ish blur
+    (Postprocessing.cpp:73-144, simplified to the blur cascade)."""
+    from ..ops import stencil
+
+    filled = jnp.where(jnp.isfinite(h), h, jnp.nanmin(jnp.where(jnp.isfinite(h), h, jnp.inf)))
+    return stencil.uniform_smooth(filled, passes=3, size=3)

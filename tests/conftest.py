@@ -2,11 +2,17 @@ import os
 
 # Tests run on a virtual 8-device CPU mesh so sharding logic is exercised
 # without TPU hardware; bench.py runs on the real chip instead.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# NOTE: this container force-registers a TPU backend via sitecustomize, so the
+# env-var route alone is not enough — jax.config is authoritative.
 if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
     )
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -12,7 +12,12 @@ from elevation_mapping_cupy_tpu.ops.geometry import associate_points
 from .golden import reference_numpy as gold
 
 
-CFG = MapConfig(resolution=0.1, map_length=3.0, max_ray_length=1.0, max_points=4096)
+# exact raycast: these tests pin the reference-parity semantics against the
+# loop-based golden; the polar production path is covered by test_raycast_modes
+CFG = MapConfig(
+    resolution=0.1, map_length=3.0, max_ray_length=1.0, max_points=4096,
+    raycast_mode="exact",
+)
 
 
 def make_cloud(rng, n, spread=1.2, z=0.4):

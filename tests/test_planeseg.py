@@ -1,0 +1,99 @@
+"""Plane segmentation: eigensolver, connected components, full pipeline on a
+synthetic two-plane terrain (the reference validates on a terrain PNG +
+brute-force equivalence, testPipeline.cpp / testConvexApproximation.cpp)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from elevation_mapping_cupy_tpu.planeseg import (
+    PlaneSegParams,
+    PlaneDecompositionPipeline,
+    connected_components,
+    eigh3_smallest,
+    extract_planes,
+    grow_convex_polygon,
+)
+
+
+def test_eigh3_matches_numpy(rng):
+    A = rng.normal(0, 1, (64, 3, 3))
+    A = (A + np.swapaxes(A, 1, 2)) / 2
+    lam_min, lam_mid, v = eigh3_smallest(jnp.asarray(A, jnp.float32))
+    w = np.linalg.eigvalsh(A)
+    np.testing.assert_allclose(np.asarray(lam_min), w[:, 0], atol=2e-4)
+    np.testing.assert_allclose(np.asarray(lam_mid), w[:, 1], atol=2e-4)
+    # eigenvector check: A v = lambda v
+    Av = np.einsum("bij,bj->bi", A, np.asarray(v, np.float64))
+    lv = np.asarray(lam_min)[:, None] * np.asarray(v, np.float64)
+    np.testing.assert_allclose(Av, lv, atol=5e-3)
+
+
+def test_connected_components_two_blobs():
+    mask = np.zeros((16, 16), bool)
+    mask[2:6, 2:6] = True
+    mask[10:14, 10:14] = True
+    labels = np.asarray(connected_components(jnp.asarray(mask)))
+    assert labels[3, 3] > 0 and labels[11, 11] > 0
+    assert labels[3, 3] != labels[11, 11]
+    assert (labels[~mask] == 0).all()
+    assert len(np.unique(labels[2:6, 2:6])) == 1
+
+
+def two_plane_terrain(n=48):
+    h = np.zeros((n, n), np.float32)
+    h[:, n // 2 :] = 0.5
+    return h
+
+
+def test_extract_planes_two_levels():
+    h = two_plane_terrain()
+    params = PlaneSegParams()
+    ext = extract_planes(jnp.asarray(h), 0.04, params)
+    labels = np.asarray(ext.labels)
+    valid = np.asarray(ext.plane_valid)
+    present = [l for l in np.unique(labels) if l != 0 and valid[l]]
+    assert len(present) == 2
+    normals = np.asarray(ext.plane_normals)
+    for l in present:
+        assert normals[l][2] > 0.99  # flat planes → +Z normals
+    # the step edge itself should not be planar
+    edge_col = h.shape[1] // 2
+    assert (labels[:, edge_col - 1 : edge_col + 1] == 0).any()
+
+
+def test_pipeline_end_to_end():
+    h = two_plane_terrain()
+    h[5, 5] = np.nan  # hole → preprocess inpaints
+    pipe = PlaneDecompositionPipeline(resolution=0.04)
+    terrain = pipe.update(h)
+    assert len(terrain.regions) == 2
+    assert np.isfinite(terrain.filtered_map).all()
+    assert terrain.smooth_planar.shape == h.shape
+    assert "total" in terrain.timings
+    report = pipe.timing_report()
+    assert "sliding_window" in report
+
+
+def test_convex_region_growing():
+    boundary = np.array([[0, 0], [10.0, 0], [10, 10], [0, 10]])
+    hole = np.array([[4, 4], [6.0, 4], [6, 6], [4, 6]])
+    poly = grow_convex_polygon(boundary, [hole], np.array([2.0, 2.0]), n_vertices=12)
+    assert poly is not None
+    # grown polygon stays inside the boundary and outside the hole
+    assert (poly >= -1e-6).all() and (poly <= 10 + 1e-6).all()
+    for p in poly:
+        assert not (4 < p[0] < 6 and 4 < p[1] < 6)
+
+
+def test_pipeline_ransac_path():
+    # a ramp plus noise fails the global planarity gate → RANSAC splits it
+    n = 32
+    rng = np.random.default_rng(0)
+    h = np.zeros((n, n), np.float32)
+    h[:, : n // 2] = np.linspace(0, 0.3, n // 2)[None, :]
+    h[:, n // 2 :] = 0.8
+    params = PlaneSegParams(include_ransac_refinement=True)
+    pipe = PlaneDecompositionPipeline(resolution=0.04, params=params)
+    terrain = pipe.update(h)
+    assert len(terrain.regions) >= 2

@@ -1,0 +1,66 @@
+"""Polar (shadow-cube) raycast vs exact-march fidelity.
+
+The polar backend is the production path (O(1) scatters); the exact march is
+the reference-parity oracle. This test bounds their disagreement on a
+realistic occlusion scene.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from elevation_mapping_cupy_tpu import MapConfig, init_state
+from elevation_mapping_cupy_tpu import core
+from elevation_mapping_cupy_tpu.nn.traversability import default_weights
+from elevation_mapping_cupy_tpu.ops import raycast as rc
+from elevation_mapping_cupy_tpu.ops import pointcloud as pcops
+from elevation_mapping_cupy_tpu.ops.geometry import associate_points
+
+
+def test_polar_matches_exact_in_aggregate(rng):
+    cfg = MapConfig(
+        resolution=0.1, map_length=4.0, max_ray_length=1.5, max_points=8192,
+        enable_drift_compensation=False,
+    )
+    w = default_weights()
+    R = jnp.eye(3)
+    t3 = np.array([0, 0, 0.6], np.float32)
+    z0 = jnp.float32(0)
+
+    state = init_state(cfg)
+    for _ in range(2):
+        pts = rng.uniform(-1.8, 1.8, (8000, 3)).astype(np.float32)
+        pts[:, 2] = rng.uniform(-0.15, 0.25, 8000)
+        state = core.update_pointcloud(
+            state, jnp.asarray(pts), jnp.ones(8000, bool), R, jnp.asarray(t3),
+            z0, z0, w, cfg,
+        )
+    for _ in range(7):
+        state = core.update_time(state, cfg)
+
+    pts = rng.uniform(-1.8, 1.8, (8000, 3)).astype(np.float32)
+    pts[:, 2] = -0.55  # ground sweep: rays shave previously-mapped cells
+    t_c = jnp.asarray(t3) - state.center
+    assoc = associate_points(jnp.asarray(pts), jnp.ones(8000, bool), R, t_c, cfg)
+    counts = pcops.error_counting(state.layers, assoc, cfg)
+    layers, _ = pcops.point_fusion(state.layers, assoc, counts.point_cnt, cfg)
+
+    a = np.asarray(rc.visibility_cleanup_exact(layers, state.normal, assoc, counts.inlier_cnt, t_c, cfg))
+    b = np.asarray(rc.visibility_cleanup_polar(layers, state.normal, assoc, counts.inlier_cnt, t_c, cfg))
+    base = np.asarray(layers)
+
+    dec_e = base[2] - a[2]
+    dec_p = base[2] - b[2]
+    # total cleanup magnitude within 10%
+    assert abs(dec_p.sum() - dec_e.sum()) / dec_e.sum() < 0.10
+    # the same region is touched (IoU of touched cells)
+    te = dec_e > 1e-6
+    tp = dec_p > 1e-6
+    iou = (te & tp).sum() / max((te | tp).sum(), 1)
+    assert iou > 0.8
+    # worst per-cell disagreement bounded (typical per-cell totals are 1-3)
+    assert np.abs(dec_e - dec_p).max() < 1.2
+    # upper-bound heights where both wrote: close
+    both = (a[6] > 0.5) & (b[6] > 0.5)
+    if both.any():
+        assert np.abs(a[5][both] - b[5][both]).max() < 0.5
+        assert np.median(np.abs(a[5][both] - b[5][both])) < 0.05
