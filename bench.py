@@ -7,6 +7,9 @@ target of 1M points/s/chip (the reference repo publishes no numbers).
 
 Prints ONE JSON line:
   {"metric": "points/s/chip", "value": N, "unit": "points/s", "vs_baseline": N}
+
+Env knobs: BENCH_POINTS, BENCH_ITERS, BENCH_MODE=points|maps (maps = batched
+multi-environment maps/s with procedural terrain + simulated sensors).
 """
 
 import json
@@ -17,6 +20,50 @@ import time
 import numpy as np
 
 
+def bench_maps() -> None:
+    """Batched datagen: B independent maps updated per step (maps/s)."""
+    import jax
+    import jax.numpy as jnp
+
+    from elevation_mapping_cupy_tpu import MapConfig
+    from elevation_mapping_cupy_tpu.nn.traversability import default_weights
+    from elevation_mapping_cupy_tpu.parallel import batched_update, init_batch
+    from elevation_mapping_cupy_tpu.runtime.datagen import make_batch_clouds
+
+    B = int(os.environ.get("BENCH_BATCH", 64))
+    n_points = int(os.environ.get("BENCH_POINTS", 100_000))
+    iters = int(os.environ.get("BENCH_ITERS", 10))
+    cfg = MapConfig(max_points=n_points)
+    w = default_weights()
+    states = init_batch(cfg, B)
+    key = jax.random.PRNGKey(0)
+    pts, t, _ = make_batch_clouds(key, B, cfg.cell_n, cfg.resolution, n_points)
+    mask = jnp.ones((B, n_points), bool)
+    R = jnp.broadcast_to(jnp.eye(3), (B, 3, 3))
+    z = jnp.zeros((B,))
+
+    def step(s):
+        return batched_update(s, pts, mask, R, t, z, z, w, cfg)
+
+    states = step(states)
+    _ = float(jnp.sum(states.layers[:, 2]))
+    lat = []
+    for _i in range(iters):
+        t0 = time.perf_counter()
+        states = step(states)
+        _ = float(jnp.sum(states.layers[:, 2]))
+        lat.append(time.perf_counter() - t0)
+    med = float(np.median(lat))
+    print(json.dumps({
+        "metric": "maps/s (batched, 1 chip)",
+        "value": round(B / med, 1),
+        "unit": "maps/s",
+        "vs_baseline": round((B / med) * n_points / 1_000_000.0, 3),
+        "extra": {"batch": B, "points_per_cloud": n_points,
+                  "median_step_s": round(med, 4)},
+    }))
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -24,6 +71,10 @@ def main() -> None:
     from elevation_mapping_cupy_tpu import MapConfig, init_state
     from elevation_mapping_cupy_tpu import core
     from elevation_mapping_cupy_tpu.nn.traversability import default_weights
+
+    if os.environ.get("BENCH_MODE", "points") == "maps":
+        bench_maps()
+        return
 
     n_points = int(os.environ.get("BENCH_POINTS", 1_000_000))
     iters = int(os.environ.get("BENCH_ITERS", 20))

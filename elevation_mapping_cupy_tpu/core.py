@@ -108,8 +108,10 @@ def _update_impl(
     assoc = associate_points(points_all[:, :3], pad_mask, R, t_c, cfg)
 
     layers = state.layers
-    counts = pc.error_counting(layers, assoc, cfg)
-    layers, mean_error, additive = pc.apply_drift_compensation(
+    # one shared row-gather of the point cells feeds both stages
+    cell_rows = pc.gather_cell_rows(layers, assoc.flat_idx)
+    counts = pc.error_counting(layers, assoc, cfg, cell_rows)
+    layers, mean_error, additive, h_delta = pc.apply_drift_compensation(
         layers,
         counts,
         position_noise,
@@ -119,7 +121,7 @@ def _update_impl(
         cfg,
     )
     # fusion decisions read the drift-compensated snapshot (R1)
-    layers, newmap = pc.point_fusion(layers, assoc, counts.point_cnt, cfg)
+    layers, newmap = pc.point_fusion(layers, assoc, counts.point_cnt, cfg, cell_rows, h_delta)
     layers = rc.visibility_cleanup(layers, state.normal, assoc, counts.inlier_cnt, t_c, cfg)
     layers = pc.average_map(layers, newmap, cfg)
 

@@ -40,15 +40,29 @@ class ErrorCounts(NamedTuple):
     error_cnt: jax.Array    # ()  number of inliers
 
 
-def error_counting(layers: jax.Array, assoc: PointAssociation, cfg: MapConfig) -> ErrorCounts:
+def gather_cell_rows(layers: jax.Array, idx: jax.Array) -> jax.Array:
+    """One row-gather of all per-cell layer values at the point cells: (N, 7).
+
+    Shared between error counting and fusion so the hot path pays a single
+    gather pass instead of one per layer."""
+    return layers.reshape(layers.shape[0], -1).T[idx]
+
+
+def error_counting(
+    layers: jax.Array,
+    assoc: PointAssociation,
+    cfg: MapConfig,
+    cell_rows: jax.Array = None,
+) -> ErrorCounts:
     """Count drift-compensation inliers and per-cell point totals."""
     n = cfg.cell_n
-    flat = layers.reshape(7, -1)
     j = assoc.flat_idx
-    map_h = flat[0, j]
-    map_v = flat[1, j]
-    map_valid = flat[2, j]
-    map_t = flat[3, j]
+    if cell_rows is None:
+        cell_rows = gather_cell_rows(layers, j)
+    map_h = cell_rows[:, 0]
+    map_v = cell_rows[:, 1]
+    map_valid = cell_rows[:, 2]
+    map_t = cell_rows[:, 3]
     z = assoc.world[:, 2]
 
     inlier = (
@@ -89,7 +103,7 @@ def apply_drift_compensation(
     branch becomes a data-dependent select so the whole step stays jittable.
     """
     if not cfg.enable_drift_compensation:
-        return layers, mean_error_prev, additive_prev
+        return layers, mean_error_prev, additive_prev, jnp.zeros((), layers.dtype)
     gate = (counts.error_cnt > cfg.min_height_drift_cnt) & (
         (position_noise > cfg.position_noise_thresh)
         | (orientation_noise > cfg.orientation_noise_thresh)
@@ -98,9 +112,9 @@ def apply_drift_compensation(
     mean_error = jnp.where(gate, new_mean, mean_error_prev)
     additive = jnp.where(gate, additive_prev + new_mean, additive_prev)
     apply = gate & (jnp.abs(new_mean) < cfg.max_drift)
-    delta = jnp.where(apply, new_mean * cfg.drift_compensation_alpha, 0.0)
-    layers = layers.at[0].add(delta.astype(layers.dtype))
-    return layers, mean_error, additive
+    delta = jnp.where(apply, new_mean * cfg.drift_compensation_alpha, 0.0).astype(layers.dtype)
+    layers = layers.at[0].add(delta)
+    return layers, mean_error, additive, delta
 
 
 def point_fusion(
@@ -108,18 +122,26 @@ def point_fusion(
     assoc: PointAssociation,
     point_cnt: jax.Array,
     cfg: MapConfig,
+    cell_rows: jax.Array = None,
+    h_delta: jax.Array = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Per-point Kalman proposals + outlier handling (custom_kernels.py:160-196).
 
     Returns (updated layers, newmap (3, H, W) = [Σnew_h, Σnew_v, count]).
+    ``cell_rows`` may be the pre-drift gather shared with error_counting;
+    ``h_delta`` is then the drift correction to add to the height column.
     """
     n = cfg.cell_n
     flat = layers.reshape(7, -1)
     j = assoc.flat_idx
     z = assoc.world[:, 2]
     v = assoc.noise
-    map_h = flat[0, j]
-    map_v = flat[1, j]
+    if cell_rows is None:
+        map_h = flat[0, j]
+        map_v = flat[1, j]
+    else:
+        map_h = cell_rows[:, 0] + (h_delta if h_delta is not None else 0.0)
+        map_v = cell_rows[:, 1]
     pc = point_cnt.reshape(-1)[j]
 
     outlier = assoc.mask & (jnp.abs(map_h - z) > map_v * cfg.mahalanobis_thresh)

@@ -1,0 +1,220 @@
+"""Host runtime: sensor ingestion, timers, statistics — the ROS node's job.
+
+Re-expression of ElevationMappingNode (elevation_mapping_ros.cpp) without ROS:
+sensor frames arrive through thread-safe queues, a single step loop drains
+them into the jitted map updates (the AsyncSpinner(1) serialization becomes
+explicit), per-publisher fps timers trigger layer exports, and a Statistics
+record mirrors the reference's `pointcloud_process_fps` topic
+(elevation_mapping_ros.cpp:674-685).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import MapConfig
+from ..mapper import ElevationMap
+
+__all__ = ["SensorFrame", "Publisher", "Statistics", "MappingService"]
+
+
+@dataclasses.dataclass
+class SensorFrame:
+    kind: str                       # "pointcloud" | "image"
+    channels: Tuple[str, ...]
+    data: np.ndarray                # (N, 3+C) cloud or (C, H, W) image
+    R: np.ndarray
+    t: np.ndarray
+    K: Optional[np.ndarray] = None
+    D: Optional[np.ndarray] = None
+    distortion_model: str = "radtan"
+    stamp: float = 0.0
+
+
+@dataclasses.dataclass
+class Publisher:
+    name: str
+    layers: List[str]
+    fps: float
+    callback: Callable[[Dict[str, np.ndarray]], None]
+    last_publish: float = 0.0
+
+
+@dataclasses.dataclass
+class Statistics:
+    pointcloud_process_fps: float = 0.0
+    frames_processed: int = 0
+    frames_dropped: int = 0
+    last_update_latency: float = 0.0
+
+
+class MappingService:
+    """Single-threaded step-driven mapping runtime.
+
+    Usage:
+        svc = MappingService(cfg)
+        svc.enqueue(SensorFrame(...))      # from any thread
+        svc.update_pose(position, R)       # pose stream (10 Hz equivalent)
+        svc.spin_once()                    # drain queue + run timers
+    """
+
+    def __init__(
+        self,
+        cfg: MapConfig,
+        mapper: Optional[ElevationMap] = None,
+        queue_size: int = 16,
+        pose_alpha: float = 0.1,
+        variance_fps: float = 5.0,
+        time_fps: float = 10.0,
+    ):
+        self.mapper = mapper or ElevationMap(cfg)
+        self.queue: "queue.Queue[SensorFrame]" = queue.Queue(maxsize=queue_size)
+        self.publishers: List[Publisher] = []
+        self.stats = Statistics()
+        self._alive_cbs: List[Callable[[], None]] = []
+        self._pose_alpha = pose_alpha
+        self._lowpass_position = np.zeros(3)
+        self._lowpass_orientation = np.eye(3)
+        self._position_noise = 0.0
+        self._orientation_noise = 0.0
+        self._variance_period = 1.0 / variance_fps if variance_fps > 0 else None
+        self._time_period = 1.0 / time_fps if time_fps > 0 else None
+        self._last_variance = 0.0
+        self._last_time = 0.0
+        self._proc_times: List[float] = []
+
+    # ---------------------------------------------------------------- inputs
+    def enqueue(self, frame: SensorFrame) -> bool:
+        """Non-blocking enqueue; drops the frame when the queue is full (the
+        reference's subscriber queue_size=1 behavior)."""
+        try:
+            self.queue.put_nowait(frame)
+            return True
+        except queue.Full:
+            self.stats.frames_dropped += 1
+            return False
+
+    def update_pose(self, position: np.ndarray, R: np.ndarray) -> None:
+        """Pose stream: lowpass → position/orientation noise for the drift
+        gate (elevation_mapping_ros.cpp:480-492), then recenter the map."""
+        position = np.asarray(position, np.float64)
+        R = np.asarray(R, np.float64)
+        self._lowpass_position = (
+            (1 - self._pose_alpha) * self._lowpass_position + self._pose_alpha * position
+        )
+        self._lowpass_orientation = (
+            (1 - self._pose_alpha) * self._lowpass_orientation + self._pose_alpha * R
+        )
+        self._position_noise = float(np.linalg.norm(position - self._lowpass_position))
+        self._orientation_noise = float(
+            np.linalg.norm(R - self._lowpass_orientation)
+        )
+        self.mapper.move_to(position, R)
+
+    # --------------------------------------------------------------- outputs
+    def add_publisher(
+        self, name: str, layers: Sequence[str], fps: float,
+        callback: Callable[[Dict[str, np.ndarray]], None],
+    ) -> None:
+        self.publishers.append(Publisher(name, list(layers), fps, callback))
+
+    def on_alive(self, cb: Callable[[], None]) -> None:
+        self._alive_cbs.append(cb)
+
+    # ------------------------------------------------------------------ spin
+    def spin_once(self, now: Optional[float] = None) -> int:
+        """Drain the sensor queue, run due timers/publishers. Returns the
+        number of frames processed."""
+        now = time.monotonic() if now is None else now
+        processed = 0
+        while True:
+            try:
+                frame = self.queue.get_nowait()
+            except queue.Empty:
+                break
+            t0 = time.perf_counter()
+            if frame.kind == "pointcloud":
+                self.mapper.input_pointcloud(
+                    frame.data, list(frame.channels), frame.R, frame.t,
+                    self._position_noise, self._orientation_noise,
+                )
+            elif frame.kind == "image":
+                self.mapper.input_image(
+                    frame.data, list(frame.channels), frame.R, frame.t,
+                    frame.K, frame.D, frame.distortion_model,
+                )
+            dt = time.perf_counter() - t0
+            self._proc_times.append(dt)
+            self._proc_times = self._proc_times[-50:]
+            self.stats.last_update_latency = dt
+            self.stats.frames_processed += 1
+            processed += 1
+            for cb in self._alive_cbs:
+                cb()
+        if self._proc_times:
+            self.stats.pointcloud_process_fps = 1.0 / float(np.mean(self._proc_times))
+
+        if self._variance_period and now - self._last_variance >= self._variance_period:
+            self.mapper.update_variance()
+            self._last_variance = now
+        if self._time_period and now - self._last_time >= self._time_period:
+            self.mapper.update_time()
+            self._last_time = now
+
+        for pub in self.publishers:
+            if now - pub.last_publish >= 1.0 / pub.fps:
+                out = {}
+                data = np.zeros(
+                    (self.mapper.cell_n - 2, self.mapper.cell_n - 2), np.float32
+                )
+                for layer in pub.layers:
+                    if self.mapper.exists_layer(layer):
+                        self.mapper.get_map_with_name_ref(layer, data)
+                        out[layer] = data.copy()
+                pub.callback(out)
+                pub.last_publish = now
+        return processed
+
+    # -------------------------------------------------------------- services
+    def get_submap(self, center_xy: np.ndarray, length_xy: Tuple[float, float],
+                   layers: Sequence[str]) -> Dict[str, np.ndarray]:
+        """get_raw_submap service equivalent (elevation_mapping_ros.cpp:507+)."""
+        res = self.mapper.resolution
+        n = self.mapper.cell_n - 2
+        full = np.zeros((n, n), np.float32)
+        c = np.asarray(self.mapper.center[:2])
+        half = np.array(length_xy) / 2
+        lo = np.clip(((center_xy - half - (c - n * res / 2)) / res).astype(int), 0, n)
+        hi = np.clip(((center_xy + half - (c - n * res / 2)) / res).astype(int), 0, n)
+        out = {}
+        for layer in layers:
+            if not self.mapper.exists_layer(layer):
+                continue
+            self.mapper.get_map_with_name_ref(layer, full)
+            out[layer] = full[lo[0] : hi[0], lo[1] : hi[1]].copy()
+        return out
+
+    def clear_map(self) -> None:
+        self.mapper.clear()
+
+    def initialize(self, points: np.ndarray, method: str = "cubic") -> None:
+        self.mapper.initialize_map(points, method)
+
+    def check_safety(self, polygons: Sequence[np.ndarray]):
+        """CheckSafety service equivalent: per polygon → (is_safe,
+        traversability, untraversable polygon)."""
+        results = []
+        for poly in polygons:
+            res = np.zeros(3)
+            n = self.mapper.get_polygon_traversability(np.asarray(poly, np.float32), res)
+            un = np.zeros((n, 2))
+            if n:
+                self.mapper.get_untraversable_polygon(un)
+            results.append((bool(res[0]), float(res[1]), un))
+        return results

@@ -1,0 +1,97 @@
+"""Semantic segmentation / feature extractor registry (networks.py equivalent).
+
+Mirrors the reference sidecar's `resolve_model` registry
+(semantic_sensor/networks.py:32-136): torchvision segmentation backbones and
+a feature-extractor interface. Models are optional — environments without
+torch (or without weights) get a deterministic fallback so the pipeline stays
+runnable end-to-end.
+
+All models expose:  predict(image (3, H, W) uint8) -> dict[channel, (H, W)]
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .utils import encode_max
+
+__all__ = ["resolve_model", "MODELS"]
+
+VOC_CLASSES = [
+    "background", "aeroplane", "bicycle", "bird", "boat", "bottle", "bus",
+    "car", "cat", "chair", "cow", "diningtable", "dog", "horse", "motorbike",
+    "person", "pottedplant", "sheep", "sofa", "train", "tvmonitor",
+]
+
+
+class _TorchvisionSeg:
+    def __init__(self, arch: str, channels: Sequence[str], pretrained: bool = True):
+        import torch
+        import torchvision
+
+        self.torch = torch
+        ctor = getattr(torchvision.models.segmentation, arch)
+        self.model = ctor(weights="DEFAULT" if pretrained else None).eval()
+        self.channels = list(channels)
+        self.class_ids = [VOC_CLASSES.index(c) if c in VOC_CLASSES else -1 for c in channels]
+
+    def predict(self, image: np.ndarray) -> Dict[str, np.ndarray]:
+        import torch
+
+        x = torch.from_numpy(np.ascontiguousarray(image)).float() / 255.0
+        mean = torch.tensor([0.485, 0.456, 0.406]).view(3, 1, 1)
+        std = torch.tensor([0.229, 0.224, 0.225]).view(3, 1, 1)
+        x = ((x - mean) / std)[None]
+        with torch.no_grad():
+            out = self.model(x)["out"][0].softmax(0).numpy()
+        result = {}
+        for name, cid in zip(self.channels, self.class_ids):
+            if cid >= 0:
+                result[name] = out[cid]
+        # class_max packed channel
+        best = out.argmax(0).astype(np.uint32)
+        prob = out.max(0)
+        result["max_class"] = encode_max(prob, best)
+        return result
+
+
+class _RandomFeatures:
+    """Deterministic fallback feature extractor (DINO-style interface) for
+    environments without torch weights; hash-based per-pixel features."""
+
+    def __init__(self, channels: Sequence[str], seed: int = 0):
+        self.channels = list(channels) or ["feat_0"]
+        self.seed = seed
+
+    def predict(self, image: np.ndarray) -> Dict[str, np.ndarray]:
+        img = image.astype(np.float32) / 255.0
+        gray = img.mean(0)
+        out = {}
+        for k, name in enumerate(self.channels):
+            gx = np.gradient(gray, axis=1)
+            gy = np.gradient(gray, axis=0)
+            out[name] = np.tanh((k + 1) * gx + k * gy + gray - gray.mean())
+        return out
+
+
+MODELS: Dict[str, Callable[..., object]] = {
+    "fcn_resnet50": lambda channels=VOC_CLASSES[1:], **kw: _TorchvisionSeg("fcn_resnet50", channels, **kw),
+    "lraspp_mobilenet_v3_large": lambda channels=VOC_CLASSES[1:], **kw: _TorchvisionSeg("lraspp_mobilenet_v3_large", channels, **kw),
+    "deeplabv3_resnet50": lambda channels=VOC_CLASSES[1:], **kw: _TorchvisionSeg("deeplabv3_resnet50", channels, **kw),
+    "random_features": lambda channels=("feat_0",), **kw: _RandomFeatures(channels),
+}
+
+
+def resolve_model(name: str, channels: Optional[Sequence[str]] = None, **kw):
+    """Instantiate a registered model; falls back to random features if the
+    torch stack is unavailable."""
+    ctor = MODELS.get(name)
+    if ctor is None:
+        raise ValueError(f"unknown model {name!r}; have {sorted(MODELS)}")
+    try:
+        return ctor(channels=channels, **kw) if channels else ctor(**kw)
+    except Exception as e:  # torch/torchvision/weights missing
+        print(f"[sensor.networks] {name} unavailable ({e}); using random_features")
+        return _RandomFeatures(channels or ("feat_0",))

@@ -1,0 +1,129 @@
+"""Runtime service, sensor frontend, datagen, and grid-map filters."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from elevation_mapping_cupy_tpu import MapConfig
+from elevation_mapping_cupy_tpu.ops import gridmap_filters as gmf
+from elevation_mapping_cupy_tpu.runtime.service import MappingService, SensorFrame
+from elevation_mapping_cupy_tpu.runtime import datagen
+from elevation_mapping_cupy_tpu.sensor import create_pcl_from_image, encode_max, decode_max
+
+
+CFG = MapConfig(resolution=0.1, map_length=2.0, max_ray_length=0.5, max_points=1024)
+
+
+def test_service_end_to_end(rng):
+    svc = MappingService(CFG)
+    published = {}
+    svc.add_publisher("map", ["elevation", "traversability"], fps=100.0,
+                      callback=published.update)
+    alive = []
+    svc.on_alive(lambda: alive.append(1))
+
+    svc.update_pose(np.array([0.0, 0.0, 0.0]), np.eye(3))
+    for i in range(3):
+        pts = rng.uniform(-0.9, 0.9, (800, 3)).astype(np.float32)
+        pts[:, 2] = rng.uniform(-0.1, 0.2, 800)
+        assert svc.enqueue(SensorFrame(
+            kind="pointcloud", channels=("x", "y", "z"), data=pts,
+            R=np.eye(3, dtype=np.float32), t=np.array([0, 0, 0.5], np.float32),
+        ))
+    n = svc.spin_once(now=100.0)
+    assert n == 3
+    assert svc.stats.frames_processed == 3
+    assert svc.stats.pointcloud_process_fps > 0
+    assert len(alive) == 3
+    assert "elevation" in published and np.isfinite(published["elevation"]).any()
+
+    sub = svc.get_submap(np.zeros(2), (0.6, 0.6), ["elevation"])
+    assert sub["elevation"].shape[0] <= 8
+
+    results = svc.check_safety([np.array([[0, 0], [0.5, 0], [0, 0.5]])])
+    assert len(results) == 1
+
+    svc.clear_map()
+    assert np.asarray(svc.mapper.state.layers[2]).sum() == 0
+
+
+def test_queue_overflow_drops(rng):
+    svc = MappingService(CFG, queue_size=2)
+    f = SensorFrame(kind="pointcloud", channels=("x", "y", "z"),
+                    data=np.zeros((10, 3), np.float32),
+                    R=np.eye(3, dtype=np.float32), t=np.zeros(3, np.float32))
+    assert svc.enqueue(f) and svc.enqueue(f)
+    assert not svc.enqueue(f)
+    assert svc.stats.frames_dropped == 1
+
+
+def test_create_pcl_from_image(rng):
+    H, W = 24, 32
+    depth = rng.uniform(0.5, 3.0, (H, W)).astype(np.float32)
+    depth[0, 0] = 0.0
+    K = np.array([[30, 0, 16], [0, 30, 12], [0, 0, 1]], np.float32)
+    rgb = rng.integers(0, 255, (3, H, W)).astype(np.uint8)
+    sem = {"grass": rng.uniform(0, 1, (H, W)).astype(np.float32)}
+    cloud, names = create_pcl_from_image(depth, K, channels=sem, rgb=rgb)
+    assert names == ["x", "y", "z", "rgb", "grass"]
+    assert cloud.shape == (H * W - 1, 5)
+    # back-projection consistency: z column equals depth
+    assert np.allclose(sorted(cloud[:, 2]), sorted(depth.reshape(-1)[1:]), atol=1e-5)
+
+
+def test_encode_decode_numpy(rng):
+    prob = rng.uniform(0, 1, 50).astype(np.float32)
+    cls = rng.integers(0, 100, 50).astype(np.uint32)
+    p, c = decode_max(encode_max(prob, cls))
+    np.testing.assert_array_equal(c, cls)
+    np.testing.assert_allclose(p, prob.astype(np.float16).astype(np.float32))
+
+
+def test_datagen_shapes():
+    key = jax.random.PRNGKey(0)
+    pts, t, terr = datagen.make_batch_clouds(key, batch=4, cells=32, resolution=0.1, n_points=256)
+    assert pts.shape == (4, 256, 3)
+    assert t.shape == (4, 3)
+    assert terr.shape == (4, 32, 32)
+    assert np.isfinite(np.asarray(pts)).all()
+
+
+def test_gridmap_filters(rng):
+    h = rng.normal(0, 0.1, (32, 32)).astype(np.float32)
+    h[10:14, 10:14] = np.nan
+    filled = np.asarray(gmf.inpaint_min_values(jnp.asarray(h)))
+    assert np.isfinite(filled).all()
+    filled2 = np.asarray(gmf.inpaint_bilinear(jnp.asarray(h)))
+    assert np.isfinite(filled2).all()
+    # min-values fill uses neighborhood minima
+    assert filled[11, 11] <= np.nanmax(h[8:16, 8:16])
+
+    sm = np.asarray(gmf.box_blur(jnp.asarray(filled)))
+    assert sm.std() < filled.std()
+    md = np.asarray(gmf.median_filter(jnp.asarray(filled)))
+    assert md.shape == h.shape
+    g = np.asarray(gmf.gaussian_blur(jnp.asarray(filled)))
+    assert g.std() < filled.std()
+
+    d = np.asarray(gmf.dilate(jnp.asarray(filled), 3))
+    e = np.asarray(gmf.erode(jnp.asarray(filled), 3))
+    assert (d >= filled - 1e-6).all() and (e <= filled + 1e-6).all()
+
+    mask = np.zeros((32, 32), bool)
+    mask[5:10, 5:10] = True
+    ol = np.asarray(gmf.outline(jnp.asarray(mask)))
+    assert ol[5, 5] and ol[9, 9] and not ol[7, 7]
+
+    ramp = np.outer(np.arange(32, dtype=np.float32), np.ones(32, np.float32)) * 0.1
+    gx, gy = gmf.estimate_gradient(jnp.asarray(ramp), 0.1)
+    np.testing.assert_allclose(np.asarray(gx)[1:-1, 1:-1], -1.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gy)[1:-1, 1:-1], 0.0, atol=1e-5)
+
+    vals = gmf.values_between_locations(
+        jnp.asarray(ramp), jnp.asarray([-1.0, 0.0]), jnp.asarray([1.0, 0.0]), 16, 0.1
+    )
+    assert np.asarray(vals).shape == (16,)
+
+    rs = gmf.resample(jnp.asarray(ramp), (16, 16))
+    assert rs.shape == (16, 16)
