@@ -85,6 +85,9 @@ class MapConfig:
     raycast_mode: str = "polar"
     raycast_azimuth_bins: int = 512
     raycast_elevation_bins: int = 128
+    # azimuth min-pyramid depth (memory knob for large env batches: each
+    # level costs an (A, R, S) tensor per environment)
+    raycast_pyramid_levels: int = 6
 
     # --- validity ramp ---
     min_valid_distance: float = 0.3

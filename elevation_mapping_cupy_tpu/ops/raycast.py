@@ -249,7 +249,7 @@ def visibility_cleanup_polar(
     # Capped at 2^6: only cells within ~6 cells of the sensor need wider
     # windows, and an under-covered min there errs conservative (higher min,
     # fewer upper-bound writes).
-    n_levels = min(6, max(1, _math.ceil(_math.log2(A))))
+    n_levels = min(cfg.raycast_pyramid_levels, max(1, _math.ceil(_math.log2(A))))
     levels = [slope_suf]
     for l in range(1, n_levels + 1):
         prev = levels[-1]

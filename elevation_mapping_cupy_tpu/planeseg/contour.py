@@ -18,6 +18,7 @@ import numpy as np
 
 __all__ = [
     "BoundaryWithHoles",
+    "project_to_planar_region",
     "PlanarRegion",
     "upsample_labels",
     "extract_boundaries",
@@ -239,3 +240,51 @@ def grow_convex_polygon(
         else:
             frozen[i] = True
     return poly
+
+
+# ---------------------------------------------------------------------------
+# segmented plane projection (SegmentedPlaneProjection.cpp:56-97)
+# ---------------------------------------------------------------------------
+
+def _point_segment_distance(p: np.ndarray, a: np.ndarray, b: np.ndarray) -> float:
+    ab = b - a
+    t = float(np.dot(p - a, ab) / max(np.dot(ab, ab), 1e-12))
+    t = min(max(t, 0.0), 1.0)
+    return float(np.linalg.norm(p - (a + t * ab)))
+
+
+def _distance_to_ring(p: np.ndarray, ring: np.ndarray) -> float:
+    return min(
+        _point_segment_distance(p, ring[i], ring[(i + 1) % len(ring)])
+        for i in range(len(ring))
+    )
+
+
+def project_to_planar_region(
+    query_xy: np.ndarray, regions: Sequence["PlanarRegion"]
+) -> Optional[Tuple["PlanarRegion", np.ndarray]]:
+    """Find the best planar region for a query point and project onto its
+    plane (getBestPlanarRegionAtPositionInWorld + projectToPlanarRegion):
+    a region containing the query wins at distance 0; otherwise the nearest
+    boundary point is used. Returns (region, projected 3D point)."""
+    best = None
+    best_d = np.inf
+    best_xy = None
+    for region in regions:
+        ring = region.boundary_with_holes.boundary
+        if _point_in_poly(query_xy, ring) and not any(
+            _point_in_poly(query_xy, h) for h in region.boundary_with_holes.holes
+        ):
+            d, pxy = 0.0, query_xy
+        else:
+            d = _distance_to_ring(query_xy, ring)
+            # closest boundary vertex as the projection fallback
+            vi = int(np.argmin(np.linalg.norm(ring - query_xy[None], axis=1)))
+            pxy = ring[vi]
+        if d < best_d:
+            best, best_d, best_xy = region, d, np.asarray(pxy, np.float64)
+    if best is None:
+        return None
+    n, s = best.normal, best.support
+    z = s[2] - (n[0] * (best_xy[0] - s[0]) + n[1] * (best_xy[1] - s[1])) / max(n[2], 1e-9)
+    return best, np.array([best_xy[0], best_xy[1], z])

@@ -97,3 +97,42 @@ def test_pipeline_ransac_path():
     pipe = PlaneDecompositionPipeline(resolution=0.04, params=params)
     terrain = pipe.update(h)
     assert len(terrain.regions) >= 2
+
+
+def test_project_to_planar_region():
+    from elevation_mapping_cupy_tpu.planeseg.contour import (
+        BoundaryWithHoles, PlanarRegion, project_to_planar_region,
+    )
+    region = PlanarRegion(
+        label=1,
+        normal=np.array([0.0, 0.0, 1.0]),
+        support=np.array([0.0, 0.0, 0.3]),
+        boundary_with_holes=BoundaryWithHoles(
+            boundary=np.array([[0, 0], [2.0, 0], [2, 2], [0, 2]]), holes=[]
+        ),
+        insets=[],
+    )
+    hit = project_to_planar_region(np.array([1.0, 1.0]), [region])
+    assert hit is not None
+    _, p = hit
+    np.testing.assert_allclose(p, [1.0, 1.0, 0.3], atol=1e-9)
+    # outside → projected to the boundary
+    _, p2 = project_to_planar_region(np.array([3.0, 1.0]), [region])
+    assert p2[0] <= 2.0 + 1e-9
+
+
+def test_map_io_and_faults(tmp_path, rng):
+    from elevation_mapping_cupy_tpu.utils.map_io import save_layer_as_image, load_heightmap_from_image
+    from elevation_mapping_cupy_tpu.runtime.faults import add_map_noise, corrupt_cloud
+
+    h = rng.uniform(0, 1, (16, 16)).astype(np.float32)
+    path = str(tmp_path / "map.png")
+    lo, hi = save_layer_as_image(h, path)
+    h2 = load_heightmap_from_image(path, height_scale=hi - lo, offset=lo)
+    np.testing.assert_allclose(h2, h, atol=(hi - lo) / 255 + 1e-6)
+
+    noisy = add_map_noise(h, 0.01)
+    assert noisy.shape == h.shape and not np.allclose(noisy, h)
+    cloud = rng.uniform(-1, 1, (100, 3)).astype(np.float32)
+    bad = corrupt_cloud(cloud, nan_frac=0.1, outlier_frac=0.05)
+    assert np.isnan(bad[:, 0]).sum() == 10
