@@ -14,6 +14,7 @@ kernel compile).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -41,6 +42,69 @@ _CORE_LAYERS = [
     "upper_bound",
     "is_upper_bound",
 ]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "name", "flip"))
+def _export_layer(state: MapState, cfg: MapConfig, name: str, flip: bool = False):
+    """One fused export: crop, NaN-fill, z-offset, optional double flip.
+
+    Keeping the whole export inside a single jit matters on tunneled
+    backends: eager per-op dispatch costs ~26 ms each."""
+    L = state.layers
+
+    def pub(m, fill_nan=False, add_z=False):
+        if fill_nan:
+            m = jnp.where(L[2] > 0.5, m, jnp.nan)
+        if add_z:
+            m = m + state.center[2]
+        return m[1:-1, 1:-1]
+
+    if name == "elevation":
+        m = pub(L[0], fill_nan=True, add_z=True)
+    elif name == "variance":
+        m = pub(L[1])
+    elif name == "traversability":
+        trav = jnp.where((L[2] + L[6]) > 0.5, L[3], jnp.nan)
+        buf = jnp.full_like(trav, jnp.nan)
+        buf = buf.at[3:-3, 3:-3].set(trav[3:-3, 3:-3])
+        m = buf[1:-1, 1:-1]
+    elif name == "time":
+        m = pub(L[4])
+    elif name in ("upper_bound", "is_upper_bound"):
+        if cfg.use_only_above_for_upper_bound:
+            valid = ((L[5] > 0.0) & (L[6] > 0.5)) | (L[2] > 0.5)
+        else:
+            valid = (L[2] > 0.5) | (L[6] > 0.5)
+        if name == "upper_bound":
+            m = jnp.where(valid, L[5], jnp.nan)[1:-1, 1:-1] + state.center[2]
+        else:
+            m = jnp.where(valid, L[6], jnp.nan)[1:-1, 1:-1]
+    elif name in ("normal_x", "normal_y", "normal_z"):
+        m = state.normal[("normal_x", "normal_y", "normal_z").index(name)][1:-1, 1:-1]
+    elif name in cfg.semantic_layers:
+        m = state.semantic[cfg.semantic_layers.index(name)][1:-1, 1:-1]
+    else:
+        raise KeyError(name)
+    if flip:
+        m = jnp.flip(jnp.flip(m, 0), 1)
+    return m
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _polygon_stats(
+    state: MapState,
+    checker: jax.Array,          # (H, W) layer used for safety
+    poly_padded: jax.Array,      # (V, 2)
+    n_vertices: jax.Array,
+    cfg: MapConfig,
+):
+    """Fused polygon mask + masked traversability stats + unsafe-cell mask."""
+    mask = poly_ops.polygon_mask(poly_padded, n_vertices, state.center[:2], cfg)
+    masked, masked_isvalid = poly_ops.masked_traversability(state.layers, mask, checker)
+    s = jnp.sum(masked_isvalid)
+    t = jnp.where(s > 0, jnp.sum(masked) / jnp.maximum(s, 1), 0.0)
+    over = masked > (1 - cfg.safe_thresh)
+    return t, jnp.max(masked), over
 
 
 class ElevationMap:
@@ -273,12 +337,20 @@ class ElevationMap:
 
     def get_map_with_name_ref(self, name: str, data: np.ndarray) -> None:
         """Write the named layer (cropped + double-flipped like the reference
-        GridMap export, elevation_mapping.py:720-775) into ``data``."""
-        m = self._get_named_map(name)
-        if m is None:
-            print(f"Layer {name} is not in the map")
-            return
-        m = jnp.flip(jnp.flip(m, 0), 1)
+        GridMap export, elevation_mapping.py:720-775) into ``data``.
+
+        Non-plugin layers go through the single-jit ``_export_layer`` fast
+        path (one dispatch instead of ~5 eager ops per publish)."""
+        if name in self.layer_names or name in (
+            "normal_x", "normal_y", "normal_z",
+        ) or name in self.semantic_layer_names:
+            m = _export_layer(self.state, self.cfg, name, flip=True)
+        else:
+            m = self._get_named_map(name)
+            if m is None:
+                print(f"Layer {name} is not in the map")
+                return
+            m = jnp.flip(jnp.flip(m, 0), 1)
         data[...] = np.asarray(m, np.float32)
 
     def _get_named_map(self, name: str):
@@ -362,20 +434,16 @@ class ElevationMap:
         vpad = max(8, 1 << int(math.ceil(math.log2(max(nv, 1)))))
         poly_padded = np.zeros((vpad, 2), np.float32)
         poly_padded[:nv] = clipped
-        mask = poly_ops.polygon_mask(
-            jnp.asarray(poly_padded), jnp.asarray(nv), jnp.asarray(center[:2]), self.cfg
-        )
-
         tmp_map = self.get_layer(self.cfg.checker_layer)
-        masked, masked_isvalid = poly_ops.masked_traversability(
-            self.state.layers, mask, tmp_map
+        t_dev, max_dev, over_dev = _polygon_stats(
+            self.state,
+            jnp.asarray(tmp_map),
+            jnp.asarray(poly_padded),
+            jnp.asarray(nv),
+            self.cfg,
         )
-        s = float(jnp.sum(masked_isvalid))
-        t = float(jnp.sum(masked)) / s if s > 0 else 0.0
-
-        untrav_thresh = 1 - self.cfg.safe_thresh
-        over = np.asarray(masked > untrav_thresh)
-        max_untrav = float(jnp.max(masked))
+        t, max_untrav, over = jax.device_get((t_dev, max_dev, over_dev))
+        t, max_untrav = float(t), float(max_untrav)
         is_safe = True
         if over.sum() > self.cfg.max_unsafe_n:
             is_safe = False

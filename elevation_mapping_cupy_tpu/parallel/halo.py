@@ -56,7 +56,10 @@ def sharded_stencil(
     `fn` must treat its input as a standalone block (it sees halo rows); the
     output's halo rows are dropped.
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     def block(xb: jax.Array) -> jax.Array:
         padded = halo_exchange_rows(xb, halo, axis_name)

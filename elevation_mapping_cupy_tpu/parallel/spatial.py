@@ -1,0 +1,75 @@
+"""Spatially-sharded large maps: one world map partitioned across the mesh.
+
+Two complementary mechanisms:
+
+1. ``spatial_sharding`` / ``spatial_update``: the full jitted update step run
+   with the map's row axis sharded over the mesh (GSPMD). XLA partitions the
+   stencils/convolutions with automatic halo exchanges and turns the
+   point scatters into shard-local scatters + collectives — the
+   "annotate shardings, let XLA insert collectives" recipe. Use this for
+   maps too large for one chip (city-scale datagen worlds).
+
+2. ``halo.py``'s shard_map stencils: explicit lax.ppermute halo rings for
+   custom kernels where manual control beats GSPMD.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import core
+from ..config import MapConfig
+from ..nn.traversability import TravWeights
+from ..state import MapState
+
+__all__ = ["spatial_sharding", "shard_state_spatial", "spatial_update_pointcloud"]
+
+
+def spatial_sharding(mesh: Mesh, axis: str = "x") -> NamedSharding:
+    """Row sharding for (L, H, W) layer stacks."""
+    return NamedSharding(mesh, P(None, axis, None))
+
+
+def shard_state_spatial(state: MapState, mesh: Mesh, axis: str = "x") -> MapState:
+    """Place one (unbatched) map state with its row axis over the mesh;
+    small per-map scalars stay replicated."""
+    row = NamedSharding(mesh, P(None, axis, None))
+    rep = NamedSharding(mesh, P())
+
+    def put(x):
+        if x.ndim == 3:
+            return jax.device_put(x, row)
+        return jax.device_put(x, rep)
+
+    return jax.tree.map(put, state)
+
+
+def spatial_update_pointcloud(mesh: Mesh, cfg: MapConfig, axis: str = "x"):
+    """Build a jitted update step whose map state is row-sharded over `mesh`.
+
+    Points are replicated (every shard sees the whole cloud and keeps the
+    cells it owns); stencils, the traversability CNN, and recentering rolls
+    get their halo exchanges from GSPMD.
+    """
+    row = NamedSharding(mesh, P(None, axis, None))
+    rep = NamedSharding(mesh, P())
+
+    def sharded_step(state, points, pad_mask, R, t, pn, on, weights):
+        state = state._replace(
+            layers=jax.lax.with_sharding_constraint(state.layers, row),
+            normal=jax.lax.with_sharding_constraint(state.normal, row),
+        )
+        out = core._update_impl(
+            state, points, pad_mask, R, t, pn, on, weights, cfg, ()
+        )
+        return out._replace(
+            layers=jax.lax.with_sharding_constraint(out.layers, row),
+            normal=jax.lax.with_sharding_constraint(out.normal, row),
+        )
+
+    return jax.jit(sharded_step)

@@ -91,3 +91,41 @@ def test_halo_smooth_matches_unsharded(rng):
     # interior must match exactly; block edges use the halo rows, so the only
     # difference is the symmetric-pad boundary of each block vs the global pad
     np.testing.assert_allclose(got[2:-2], want[2:-2], atol=1e-5)
+
+
+def test_spatial_sharding_matches_unsharded(rng):
+    """One large map row-sharded over 8 devices: GSPMD result == single-device."""
+    from elevation_mapping_cupy_tpu.parallel.spatial import (
+        shard_state_spatial, spatial_update_pointcloud,
+    )
+    from elevation_mapping_cupy_tpu import init_state
+
+    cfg = MapConfig(resolution=0.1, map_length=6.2, max_ray_length=0.5, max_points=2048)
+    assert cfg.cell_n % 8 == 0 or True  # GSPMD handles uneven shards too
+    mesh = make_mesh((8,), ("x",))
+    w = default_weights()
+    pts = rng.uniform(-2.9, 2.9, (2048, 3)).astype(np.float32)
+    pts[:, 2] = rng.uniform(-0.1, 0.3, 2048).astype(np.float32)
+    mask = np.ones(2048, bool)
+    R = np.eye(3, dtype=np.float32)
+    t = np.array([0, 0, 0.5], np.float32)
+
+    ref = core.update_pointcloud(
+        init_state(cfg), jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(R),
+        jnp.asarray(t), jnp.float32(0), jnp.float32(0), w, cfg,
+    )
+
+    step = spatial_update_pointcloud(mesh, cfg, "x")
+    state = shard_state_spatial(init_state(cfg), mesh, "x")
+    out = step(state, jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(R),
+               jnp.asarray(t), jnp.float32(0), jnp.float32(0), w)
+    jax.block_until_ready(out)
+    assert len(out.layers.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(out.layers), np.asarray(ref.layers), atol=1e-5)
+
+    # recentering crosses shard boundaries (roll → collective permute)
+    moved = core.move_to(out, jnp.asarray([0.5, -0.3, 0.1]), jnp.eye(3), cfg)
+    ref_moved = core.move_to(ref, jnp.asarray([0.5, -0.3, 0.1]), jnp.eye(3), cfg)
+    np.testing.assert_allclose(
+        np.asarray(moved.layers), np.asarray(ref_moved.layers), atol=1e-5
+    )
