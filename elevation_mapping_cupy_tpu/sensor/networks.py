@@ -76,10 +76,30 @@ class _RandomFeatures:
         return out
 
 
+def _dino(variant: str, patch: int):
+    def ctor(channels=None, weight_file=None, **kw):
+        from .dino import DinoFeaturizer, ViTConfig
+
+        return DinoFeaturizer(
+            channels=channels,
+            cfg=ViTConfig(variant=variant, patch_size=patch),
+            weight_file=weight_file,
+            **kw,
+        )
+
+    return ctor
+
+
 MODELS: Dict[str, Callable[..., object]] = {
     "fcn_resnet50": lambda channels=VOC_CLASSES[1:], **kw: _TorchvisionSeg("fcn_resnet50", channels, **kw),
     "lraspp_mobilenet_v3_large": lambda channels=VOC_CLASSES[1:], **kw: _TorchvisionSeg("lraspp_mobilenet_v3_large", channels, **kw),
     "deeplabv3_resnet50": lambda channels=VOC_CLASSES[1:], **kw: _TorchvisionSeg("deeplabv3_resnet50", channels, **kw),
+    # JAX DINO ViT featurizers (sensor/dino.py); pass weight_file= to load
+    # the public facebook/dino .pth checkpoints
+    "dino_vits8": _dino("vit_small", 8),
+    "dino_vits16": _dino("vit_small", 16),
+    "dino_vitb8": _dino("vit_base", 8),
+    "dino_vitb16": _dino("vit_base", 16),
     "random_features": lambda channels=("feat_0",), **kw: _RandomFeatures(channels),
 }
 
