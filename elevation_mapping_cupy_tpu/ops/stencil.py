@@ -32,8 +32,12 @@ __all__ = [
 
 
 def _flat_neighbor(fm: jax.Array, off: int, n: int) -> Tuple[jax.Array, jax.Array]:
-    """Gather flat-index neighbor i+off with the reference's bounds semantics:
-    valid iff 0 <= i+off < n*n and the decomposed (row, col) is interior."""
+    """Flat-index neighbor i+off with the reference's bounds semantics:
+    valid iff 0 <= i+off < n*n and the decomposed (row, col) is interior.
+
+    ``off`` is static, so the "gather" is a roll (slice+concat) — a dynamic
+    gather here costs ~25 random-access passes per dilation on TPU; rolled
+    values that wrap are masked out by ``in_range``."""
     nn = n * n
     i = jnp.arange(nn)
     j = i + off
@@ -42,7 +46,7 @@ def _flat_neighbor(fm: jax.Array, off: int, n: int) -> Tuple[jax.Array, jax.Arra
     jx = jc // n
     jy = jc % n
     interior = (jx > 0) & (jx < n - 1) & (jy > 0) & (jy < n - 1)
-    return fm[jc], in_range & interior
+    return jnp.roll(fm, -off), in_range & interior
 
 
 def dilation_fill(

@@ -7,6 +7,7 @@ realistic occlusion scene.
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from elevation_mapping_cupy_tpu import MapConfig, init_state
 from elevation_mapping_cupy_tpu import core
@@ -16,10 +17,12 @@ from elevation_mapping_cupy_tpu.ops import pointcloud as pcops
 from elevation_mapping_cupy_tpu.ops.geometry import associate_points
 
 
-def test_polar_matches_exact_in_aggregate(rng):
+@pytest.mark.parametrize("slope_from_bins", [True, False])
+def test_polar_matches_exact_in_aggregate(rng, slope_from_bins):
     cfg = MapConfig(
         resolution=0.1, map_length=4.0, max_ray_length=1.5, max_points=8192,
         enable_drift_compensation=False,
+        raycast_slope_from_bins=slope_from_bins,
     )
     w = default_weights()
     R = jnp.eye(3)

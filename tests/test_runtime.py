@@ -127,3 +127,26 @@ def test_gridmap_filters(rng):
 
     rs = gmf.resample(jnp.asarray(ramp), (16, 16))
     assert rs.shape == (16, 16)
+
+
+def test_semantic_image_node(rng):
+    """SemanticImageNode: resize scaling, channel stack, intrinsics, vis."""
+    from elevation_mapping_cupy_tpu.sensor.image_node import (
+        ImageParameter, SemanticImageNode, voc_color_map,
+    )
+
+    node = SemanticImageNode(
+        ImageParameter(channels=("f0", "f1"), semantic_model="random_features",
+                       resize=0.5)
+    )
+    img = rng.integers(0, 255, (3, 40, 60), np.uint8)
+    K = np.array([[50, 0, 30], [0, 50, 20], [0, 0, 1]], np.float32)
+    out = node(img, K)
+    assert out["image"].shape == (2, 20, 30)
+    assert out["channels"] == ["sem_f0", "sem_f1"]
+    np.testing.assert_allclose(out["K"][0, 0], 25.0)
+    np.testing.assert_allclose(out["K"][2, 2], 1.0)
+    assert out["label_vis"].shape == (3, 20, 30)
+    assert node.channel_info() == ["sem_f0", "sem_f1"]
+    cm = voc_color_map(21)
+    assert cm.shape == (21, 3) and cm.dtype == np.uint8
