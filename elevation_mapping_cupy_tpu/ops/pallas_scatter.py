@@ -1,0 +1,201 @@
+"""MXU matmul-scatter: point→cell scatter-add as one-hot outer products.
+
+The reference resolves per-point scatter races with CUDA ``atomicAdd``
+(custom_kernels.py:174-185). XLA's TPU scatter lowering serializes over
+updates (~15-35 ms for 1M points into a 204x204 map on v5e). This kernel
+reformulates the scatter as dense matmuls that run on the systolic array:
+
+    out[k] = OneHot_rows(P, Hp)^T  @  (OneHot_cols(P, Wp) * v_k[:, None])
+
+summed over point chunks P. Each chunk contributes a rank-P update to the
+whole (Hp, Wp) map held in VMEM; the one-hot operands are generated on the
+fly in VMEM (never touching HBM) and are exact in bf16, so the MXU's f32
+accumulation makes flag/count streams bit-exact. Value streams are split
+into a (hi, mid, lo) bf16 triple carrying ~24 mantissa bits, so their f32
+accumulation matches a native f32 scatter up to final-rounding noise.
+
+Cost: N * Hp * Wp * K_eff MACs — for 1M points onto a 256-padded map with
+4 streams that is ~0.5e12 bf16 FLOPs ≈ 3-6 ms on one v5e core, ~3x faster
+than the XLA scatter, and it stays on the MXU instead of fighting the
+vector units for the rest of the update step.
+
+Layout note: cell row/col indices ride as two leading float32 columns of the
+packed (chunk, P, 2+K) value tensor, so the whole kernel consumes ONE block
+whose last-two dims satisfy the (8, 128)-divisible-or-full constraint; map
+cell counts (< 2^24) are exact in f32.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["mxu_scatter_add_2d", "supported_backend"]
+
+# Points per grid step (sublane dim of the one-hot operands). Large chunks
+# amortize per-grid-step overhead (256 → 3.4x slower at 1M pts); the Mosaic
+# compile cost this implies is hidden by the persistent compilation cache
+# (enabled package-wide on TPU backends, see __init__.py).
+_CHUNK = 1024
+
+
+def supported_backend() -> bool:
+    """Pallas TPU lowering available? (trace-time decision)."""
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _kernel(vals_ref, out_ref, *, k_streams, exact, hp, wp):
+    """out_ref: (hp, K*wp) — stream k occupies lanes [k*wp, (k+1)*wp)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    p = vals_ref.shape[1]
+    rows = vals_ref[0, :, 0:1].astype(jnp.int32)  # (P, 1)
+    cols = vals_ref[0, :, 1:2].astype(jnp.int32)
+    ohr = (rows == jax.lax.broadcasted_iota(jnp.int32, (p, hp), 1)).astype(
+        jnp.bfloat16
+    )
+    ohc = (cols == jax.lax.broadcasted_iota(jnp.int32, (p, wp), 1)).astype(
+        jnp.bfloat16
+    )
+
+    contract = (((0,), (0,)), ((), ()))
+    for k in range(k_streams):
+        v = vals_ref[0, :, 2 + k : 3 + k]  # (P, 1) f32
+        if exact[k]:
+            parts = (v.astype(jnp.bfloat16),)
+        else:
+            # 3-way bf16 split: hi+mid+lo carries ~24 mantissa bits, so the
+            # f32-accumulated sum is f32-exact up to the final rounding
+            hi = v.astype(jnp.bfloat16)
+            r1 = v - hi.astype(jnp.float32)
+            mid = r1.astype(jnp.bfloat16)
+            lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+            parts = (hi, mid, lo)
+        # each part hits the MXU separately (f32 accumulation of dot
+        # results); summing the bf16 operands first would re-round
+        acc = out_ref[:, k * wp : (k + 1) * wp]
+        for part in parts:
+            acc = acc + jax.lax.dot_general(
+                ohr,
+                ohc * part,
+                dimension_numbers=contract,
+                preferred_element_type=jnp.float32,
+            )
+        out_ref[:, k * wp : (k + 1) * wp] = acc
+
+
+def _call_pallas(rows, cols, values, h, w, exact, interpret):
+    n, k_streams = values.shape
+    hp = _round_up(h, 128)
+    wp = _round_up(w, 128)
+    packed = jnp.concatenate(
+        [rows.astype(jnp.float32)[:, None], cols.astype(jnp.float32)[:, None], values],
+        axis=1,
+    )
+    n_pad = _round_up(n, _CHUNK)
+    if n_pad != n:
+        packed = jnp.pad(packed, ((0, n_pad - n), (0, 0)))
+    g = n_pad // _CHUNK
+    packed = packed.reshape(g, _CHUNK, 2 + k_streams)
+
+    kernel = functools.partial(
+        _kernel, k_streams=k_streams, exact=exact, hp=hp, wp=wp
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, _CHUNK, 2 + k_streams),
+                lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (hp, k_streams * wp), lambda i: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((hp, k_streams * wp), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * hp * wp * (3 * k_streams - 2 * sum(exact)),
+            bytes_accessed=n_pad * 4 * (2 + k_streams) + 4 * k_streams * hp * wp,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(packed)
+    # (hp, K*wp) -> (K, h, w)
+    out = out.reshape(hp, k_streams, wp).transpose(1, 0, 2)
+    return out[:, :h, :w]
+
+
+@functools.lru_cache(maxsize=None)
+def _make_impl(h: int, w: int, exact: Tuple[bool, ...], interpret: bool):
+    """Per-(h, w, exact) implementation with an explicit vmap rule.
+
+    The in-kernel accumulator init keys on ``pl.program_id(0)``; letting JAX
+    batch the pallas_call would prepend a grid axis and silently break it, so
+    vmap lowers to a sequential ``lax.map`` over the batch — each env's
+    scatter is its own full-MXU kernel launch, which is the right shape for
+    the batched-envs path anyway (the per-call work is already chip-filling).
+    """
+
+    @jax.custom_batching.custom_vmap
+    def impl(rows, cols, values):
+        return _call_pallas(rows, cols, values, h, w, exact, interpret)
+
+    @impl.def_vmap
+    def _vmap_rule(axis_size, in_batched, rows, cols, values):  # noqa: ANN001
+        rb, cb, vb = in_batched
+
+        def bcast(x, b):
+            return x if b else jnp.broadcast_to(x, (axis_size,) + x.shape)
+
+        rows_b = bcast(rows, rb)
+        cols_b = bcast(cols, cb)
+        values_b = bcast(values, vb)
+        out = jax.lax.map(
+            lambda t: _call_pallas(t[0], t[1], t[2], h, w, exact, interpret),
+            (rows_b, cols_b, values_b),
+        )
+        return out, True
+
+    return impl
+
+
+def mxu_scatter_add_2d(
+    rows: jax.Array,
+    cols: jax.Array,
+    values: jax.Array,
+    h: int,
+    w: int,
+    exact: Tuple[bool, ...],
+    interpret: bool = False,
+) -> jax.Array:
+    """Scatter-add K value streams into an (h, w) grid on the MXU.
+
+    rows/cols: (N,) int32 cell coordinates, already clamped to range for
+    masked-out points (whose values must be pre-zeroed — they then add 0).
+    values: (N, K) float32. exact[k]=True marks streams whose values are
+    exactly representable in bf16 (0/1 flags, counts) — they skip the
+    hi/lo split. ``interpret=True`` runs the Pallas interpreter (any
+    backend; used by the CPU test suite).
+
+    Returns (K, h, w) float32.
+    """
+    assert len(exact) == values.shape[-1]
+    return _make_impl(h, w, tuple(exact), interpret)(rows, cols, values)

@@ -72,17 +72,19 @@ def error_counting(
         & (map_v < cfg.drift_compensation_variance_inlier / 2.0)
         & (map_t > cfg.traversability_inlier)
     )
-    sums = scatter.scatter_add_multi(
-        n * n,
+    sums = scatter.scatter_add_streams_2d(
+        n,
+        n,
         j,
         [inlier.astype(layers.dtype), assoc.mask.astype(layers.dtype)],
         assoc.mask,
+        exact=(True, True),
     )
     error_sum = jnp.sum(jnp.where(inlier, z - map_h, 0.0))
     error_cnt = jnp.sum(inlier)
     return ErrorCounts(
-        inlier_cnt=sums[0].reshape(n, n),
-        point_cnt=sums[1].reshape(n, n),
+        inlier_cnt=sums[0],
+        point_cnt=sums[1],
         error_sum=error_sum,
         error_cnt=error_cnt,
     )
@@ -157,18 +159,20 @@ def point_fusion(
     # Fold the outlier-variance scatter into the same index pass: a point is
     # either a fused inlier or an outlier, never both, so one scatter with a
     # per-stream mask via zeroed values suffices.
-    sums = scatter.scatter_add_multi(
-        n * n,
+    sums = scatter.scatter_add_streams_2d(
+        n,
+        n,
         j,
         [
             jnp.where(fuse, new_h, 0.0),
             jnp.where(fuse, new_v, 0.0),
             fuse.astype(new_h.dtype),
-            jnp.where(outlier, cfg.outlier_variance, 0.0).astype(new_h.dtype),
+            outlier.astype(new_h.dtype),  # x outlier_variance applied below
         ],
         fuse | outlier,
-    )
-    out_var = sums[3]
+        exact=(False, False, True, True),
+    ).reshape(4, -1)
+    out_var = sums[3] * cfg.outlier_variance
 
     sum_h, sum_v, cnt = sums[0], sums[1], sums[2]
     has = cnt > 0

@@ -12,7 +12,8 @@ in a sorted-bin Pallas kernel later only touches this module.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+import os
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -20,10 +21,27 @@ import jax.numpy as jnp
 __all__ = [
     "scatter_add",
     "scatter_add_multi",
+    "scatter_add_streams_2d",
     "scatter_min",
     "scatter_max",
     "scatter_or",
 ]
+
+# None = auto (Pallas MXU kernel on TPU backends, XLA scatter elsewhere);
+# settable for tests / debugging, or via ELEV_TPU_MXU_SCATTER=0/1.
+USE_MXU_SCATTER: Optional[bool] = (
+    None
+    if "ELEV_TPU_MXU_SCATTER" not in os.environ
+    else os.environ["ELEV_TPU_MXU_SCATTER"] == "1"
+)
+
+
+def _mxu_enabled() -> bool:
+    if USE_MXU_SCATTER is not None:
+        return USE_MXU_SCATTER
+    from .pallas_scatter import supported_backend
+
+    return supported_backend()
 
 
 def _masked(idx: jax.Array, values: jax.Array, mask: jax.Array, neutral) -> Tuple[jax.Array, jax.Array]:
@@ -52,6 +70,34 @@ def scatter_add_multi(
     safe_val = jnp.where(mask[:, None], vals, 0.0)
     out = jnp.zeros((n_cells, k), vals.dtype).at[safe_idx].add(safe_val)
     return out.T
+
+
+def scatter_add_streams_2d(
+    h: int,
+    w: int,
+    flat_idx: jax.Array,
+    values: Sequence[jax.Array],
+    mask: jax.Array,
+    exact: Tuple[bool, ...],
+) -> jax.Array:
+    """Scatter K per-point streams into an (h, w) grid; returns (K, h, w).
+
+    Routes to the Pallas MXU matmul-scatter on TPU (ops/pallas_scatter.py,
+    ~3-10x faster than XLA's serialized scatter at 1M points) and to the XLA
+    scatter elsewhere. ``exact[k]`` marks streams whose values are bf16-exact
+    (flags/counts) — informational for the MXU path's precision splitting.
+    """
+    if _mxu_enabled():
+        from .pallas_scatter import mxu_scatter_add_2d
+
+        safe_idx = jnp.where(mask, flat_idx, 0)
+        rows = safe_idx // w
+        cols = safe_idx % w
+        vals = jnp.stack(
+            [jnp.where(mask, v, 0.0).astype(jnp.float32) for v in values], axis=-1
+        )
+        return mxu_scatter_add_2d(rows, cols, vals, h, w, tuple(exact))
+    return scatter_add_multi(h * w, flat_idx, values, mask).reshape(-1, h, w)
 
 
 def scatter_min(n_cells: int, idx: jax.Array, values: jax.Array, mask: jax.Array, init: float) -> jax.Array:

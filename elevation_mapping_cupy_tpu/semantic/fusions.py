@@ -92,9 +92,14 @@ def _sum_features(
     feats: jax.Array,        # (N, L) feature columns for this fusion
 ) -> jax.Array:
     """Σ feature per cell for each layer (sum_kernel). Returns (L, n_cells)."""
+    import math
+
+    n = int(math.isqrt(n_cells))
     streams = [feats[:, k] for k in range(feats.shape[1])]
     mask = assoc.valid & assoc.inside
-    return scatter.scatter_add_multi(n_cells, assoc.flat_idx, streams, mask)
+    return scatter.scatter_add_streams_2d(
+        n, n, assoc.flat_idx, streams, mask, exact=(False,) * len(streams)
+    ).reshape(len(streams), n_cells)
 
 
 def fuse_average(
@@ -276,12 +281,15 @@ def fuse_color(
     safe = jnp.maximum(cnt, 1.0)
     for k, lay in enumerate(layer_ids):
         r, g, b = rgb_float_to_uint(feats[:, k])
-        sums = scatter.scatter_add_multi(
-            n * n,
+        # uint8 components are bf16-exact -> MXU path stays integer-exact
+        sums = scatter.scatter_add_streams_2d(
+            n,
+            n,
             assoc.flat_idx,
             [r.astype(jnp.float32), g.astype(jnp.float32), b.astype(jnp.float32)],
             mask,
-        )
+            exact=(True, True, True),
+        ).reshape(3, -1)
         # reference divides uint sums with integer division
         rm = jnp.floor(sums[0] / safe).reshape(n, n)
         gm = jnp.floor(sums[1] / safe).reshape(n, n)

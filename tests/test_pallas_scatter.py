@@ -1,0 +1,63 @@
+"""MXU matmul-scatter kernel tests (ops/pallas_scatter.py).
+
+Run through the Pallas interpreter so they exercise the exact kernel program
+on the CPU test mesh; the real Mosaic lowering is exercised by bench.py /
+profile runs on the TPU chip.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from elevation_mapping_cupy_tpu.ops import scatter
+from elevation_mapping_cupy_tpu.ops.pallas_scatter import mxu_scatter_add_2d
+
+
+def _ref(rows, cols, vals, h, w):
+    out = np.zeros((vals.shape[1], h, w), np.float64)
+    for i in range(vals.shape[0]):
+        out[:, rows[i], cols[i]] += vals[i]
+    return out
+
+
+def test_matches_dense_reference(rng):
+    h, w, n, k = 37, 52, 3000, 3
+    rows = rng.integers(0, h, n).astype(np.int32)
+    cols = rng.integers(0, w, n).astype(np.int32)
+    vals = rng.standard_normal((n, k)).astype(np.float32)
+    vals[:, 1] = (vals[:, 1] > 0)  # exact flag stream
+    out = mxu_scatter_add_2d(
+        jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals),
+        h, w, (False, True, False), interpret=True,
+    )
+    ref = _ref(rows, cols, vals, h, w)
+    np.testing.assert_allclose(np.asarray(out)[1], ref[1], atol=0)  # bit-exact
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
+
+
+def test_vmap_rule_matches_per_env(rng):
+    """vmapped kernel == per-env loop (guards the custom_vmap lowering)."""
+    b, h, w, n, k = 3, 20, 20, 512, 2
+    rows = rng.integers(0, h, (b, n)).astype(np.int32)
+    cols = rng.integers(0, w, (b, n)).astype(np.int32)
+    vals = rng.standard_normal((b, n, k)).astype(np.float32)
+
+    f = lambda r, c, v: mxu_scatter_add_2d(r, c, v, h, w, (False, False), interpret=True)
+    out = jax.vmap(f)(jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals))
+    for i in range(b):
+        ref = _ref(rows[i], cols[i], vals[i], h, w)
+        np.testing.assert_allclose(np.asarray(out[i]), ref, atol=2e-4)
+
+
+def test_streams_2d_router_xla_fallback(rng):
+    """On the CPU backend the router must take the XLA path and agree with
+    the flat scatter used by the golden tests."""
+    h = w = 30
+    n = 1000
+    idx = jnp.asarray(rng.integers(0, h * w, n).astype(np.int32))
+    v1 = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    v2 = jnp.asarray((rng.random(n) > 0.5).astype(np.float32))
+    mask = jnp.asarray(rng.random(n) > 0.3)
+    out = scatter.scatter_add_streams_2d(h, w, idx, [v1, v2], mask, (False, True))
+    ref = scatter.scatter_add_multi(h * w, idx, [v1, v2], mask).reshape(2, h, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)

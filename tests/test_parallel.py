@@ -129,3 +129,20 @@ def test_spatial_sharding_matches_unsharded(rng):
     np.testing.assert_allclose(
         np.asarray(moved.layers), np.asarray(ref_moved.layers), atol=1e-5
     )
+
+
+def test_distributed_helpers_single_process(rng):
+    """distributed module degrades to single-process: mesh shape, local
+    slice, and HostFeed globalize produce a correctly sharded batch."""
+    from elevation_mapping_cupy_tpu.parallel import distributed as dist
+
+    assert dist.initialize() is False  # no coordinator configured
+    mesh = dist.pod_mesh(("host", "chip"))
+    assert mesh.devices.shape == (1, 8)
+    lo, hi = dist.process_local_slice(32)
+    assert (lo, hi) == (0, 32)
+    feed = dist.HostFeed(16, make_mesh((8,), ("host",)))
+    local = rng.standard_normal((16, 5, 3)).astype(np.float32)
+    arr = feed.globalize(local)
+    assert len(arr.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(arr), local)
