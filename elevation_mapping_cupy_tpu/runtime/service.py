@@ -88,6 +88,10 @@ class MappingService:
         self._last_variance = 0.0
         self._last_time = 0.0
         self._proc_times: List[float] = []
+        self.publish_points_enabled = False
+        # optional callable returning (N, 3) world points for
+        # clear_map_with_initializer (reference: TF frame positions)
+        self.initialize_points_provider: Optional[Callable[[], np.ndarray]] = None
 
     # ---------------------------------------------------------------- inputs
     def enqueue(self, frame: SensorFrame) -> bool:
@@ -205,6 +209,44 @@ class MappingService:
 
     def initialize(self, points: np.ndarray, method: str = "cubic") -> None:
         self.mapper.initialize_map(points, method)
+
+    def clear_map_with_initializer(self, method: str = "cubic") -> None:
+        """clear_map_with_initializer service (elevation_mapping_ros.cpp:564-569):
+        clear, then re-initialize from the configured point provider (the
+        reference reads TF frames, e.g. foot positions — here any callable
+        set via ``initialize_points_provider``)."""
+        self.mapper.clear()
+        if self.initialize_points_provider is not None:
+            pts = np.asarray(self.initialize_points_provider(), np.float64)
+            if len(pts) > 3:  # mapper requires >3 points (reference assert)
+                self.mapper.initialize_map(pts)
+
+    def set_publish_points(self, enable: bool) -> bool:
+        """set_publish_points service (elevation_mapping_ros.cpp:660-664)."""
+        self.publish_points_enabled = bool(enable)
+        return True
+
+    def get_map_pointcloud(self) -> np.ndarray:
+        """Map as an (N, 3) debug pointcloud (publishPoints equivalent,
+        elevation_mapping_ros.cpp:501-505); empty unless enabled."""
+        if not self.publish_points_enabled:
+            return np.zeros((0, 3), np.float32)
+        n = self.mapper.cell_n - 2
+        elev = np.zeros((n, n), np.float32)
+        self.mapper.get_map_with_name_ref("elevation", elev)
+        res = self.mapper.resolution
+        c = np.asarray(self.mapper.center)
+        ys, xs = np.mgrid[0:n, 0:n]
+        # undo the export double-flip to map cells back to world axes
+        world_x = c[0] + ((n - 1 - ys) - n / 2.0 + 0.5) * res
+        world_y = c[1] + ((n - 1 - xs) - n / 2.0 + 0.5) * res
+        ok = np.isfinite(elev)
+        return np.stack([world_x[ok], world_y[ok], elev[ok]], axis=1).astype(np.float32)
+
+    def map_to_odom_error(self) -> float:
+        """Accumulated drift estimate for the corrected map→odom TF
+        (publishMapToOdom, elevation_mapping_ros.cpp:365,811-818)."""
+        return float(np.asarray(self.mapper.state.additive_mean_error))
 
     def check_safety(self, polygons: Sequence[np.ndarray]):
         """CheckSafety service equivalent: per polygon → (is_safe,

@@ -150,3 +150,39 @@ def test_semantic_image_node(rng):
     assert node.channel_info() == ["sem_f0", "sem_f1"]
     cm = voc_color_map(21)
     assert cm.shape == (21, 3) and cm.dtype == np.uint8
+
+
+def test_service_aux_services(rng):
+    """set_publish_points / map pointcloud export / clear-with-initializer /
+    map→odom drift error."""
+    from elevation_mapping_cupy_tpu import MapConfig
+    from elevation_mapping_cupy_tpu.runtime.service import MappingService, SensorFrame
+
+    cfg = MapConfig(resolution=0.1, map_length=4.0, max_ray_length=1.0,
+                    max_points=2048)
+    svc = MappingService(cfg)
+    pts = rng.uniform(-1.8, 1.8, (2000, 3)).astype(np.float32)
+    pts[:, 2] = rng.uniform(0.0, 0.2, 2000)
+    svc.enqueue(SensorFrame(kind="pointcloud", channels=("x", "y", "z"),
+                            data=pts, R=np.eye(3, dtype=np.float32),
+                            t=np.array([0, 0, 0.8], np.float32)))
+    svc.spin_once()
+
+    assert svc.get_map_pointcloud().shape == (0, 3)  # disabled by default
+    assert svc.set_publish_points(True)
+    cloud = svc.get_map_pointcloud()
+    assert cloud.shape[1] == 3 and len(cloud) > 100
+    # exported points sit on the mapped surface: sensor-frame z in [0, 0.2]
+    # plus the t_z=0.8 offset puts world elevation around 0.9
+    assert np.isfinite(cloud).all() and 0.5 < float(np.median(cloud[:, 2])) < 1.1
+
+    assert isinstance(svc.map_to_odom_error(), float)
+
+    svc.initialize_points_provider = lambda: np.array(
+        [[-1, -1, 0.1], [1, -1, 0.1], [1, 1, 0.1], [-1, 1, 0.1]], np.float64
+    )
+    svc.clear_map_with_initializer()
+    elev = np.zeros((svc.mapper.cell_n - 2,) * 2, np.float32)
+    svc.mapper.get_map_with_name_ref("elevation", elev)
+    inner = elev[10:-10, 10:-10]
+    assert np.isfinite(inner).sum() > 0  # initializer repopulated the map
