@@ -27,7 +27,6 @@ from .config import MapConfig
 from .nn.traversability import TravWeights, default_weights, load_weights_npz
 from .ops import polygon as poly_ops
 from .plugins import PluginManager
-from .semantic.fusions import decode_max
 from .state import MapState, init_state
 from .utils.hull import convex_hull
 

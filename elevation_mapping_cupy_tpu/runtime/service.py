@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import dataclasses
 import queue
-import threading
 import time
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 

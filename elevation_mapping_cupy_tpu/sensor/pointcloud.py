@@ -13,7 +13,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from .utils import encode_max
+
 
 __all__ = ["PointcloudParameter", "create_pcl_from_image"]
 
