@@ -134,6 +134,11 @@ class MapConfig:
 
     # --- image path ---
     tolerance_z_collision: float = 0.10
+    # occlusion backend: "shadow" = camera-centric polar shadow map (one
+    # scatter + prefix scan, ~40x faster on TPU); "bresenham" = per-cell
+    # height-map march matching the reference kernel step-for-step
+    image_occlusion_mode: str = "shadow"
+    image_occlusion_azimuth_bins: int = 1024
 
     # --- runtime / batching ---
     max_points: int = 131072           # static pointcloud padding size

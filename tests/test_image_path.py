@@ -82,7 +82,8 @@ def golden_correspondence(layers, center, x1, y1, z1, P, K, D, ih, iw, cfg):
 
 
 def test_correspondence_matches_golden(rng):
-    cfg = MapConfig(resolution=0.1, map_length=2.0, max_points=256)
+    cfg = MapConfig(resolution=0.1, map_length=2.0, max_points=256,
+                    image_occlusion_mode="bresenham")
     n = cfg.cell_n
     state = init_state(cfg)
     # random valid height field with an obstacle wall
@@ -115,3 +116,42 @@ def test_correspondence_matches_golden(rng):
     np.testing.assert_allclose(got_uv[:, gvalid], guv[:, gvalid], atol=2e-3)
     # the view actually covers part of the map
     assert gvalid.sum() > 10
+
+
+def test_shadow_occlusion_matches_bresenham(rng):
+    """Shadow-map occlusion (production) vs the exact Bresenham march: the
+    visibility masks must agree except at quantization boundaries."""
+    cfg_b = MapConfig(resolution=0.1, map_length=4.0, max_points=256,
+                      image_occlusion_mode="bresenham")
+    cfg_s = cfg_b.replace(image_occlusion_mode="shadow")
+    n = cfg_b.cell_n
+    state = init_state(cfg_b)
+    h = rng.uniform(-0.05, 0.05, (n, n)).astype(np.float32)
+    h[12:15, 5:35] = 0.9          # wall
+    h[25:28, 10:30] = 0.5         # second lower wall
+    valid = (rng.uniform(0, 1, (n, n)) > 0.1).astype(np.float32)
+    layers = state.layers.at[0].set(jnp.asarray(h)).at[2].set(jnp.asarray(valid))
+
+    K = np.array([[60, 0, 48], [0, 60, 36], [0, 0, 1]], np.float32)
+    Rm = np.array([[1, 0, 0], [0, -1, 0], [0, 0, -1]], np.float32)
+    t = np.array([0.2, -0.1, 1.2], np.float32)
+    P = (K @ np.concatenate([Rm, t[:, None]], 1)).astype(np.float32)
+    t_cam = -Rm.T @ t
+    x1 = int(np.uint32(n / 2 + t_cam[0] / cfg_b.resolution))
+    y1 = int(np.uint32(n / 2 + t_cam[1] / cfg_b.resolution))
+    z1 = np.float32(t_cam[2])
+    D = np.zeros(5, np.float32)
+    args = (layers, jnp.zeros(3), jnp.asarray([x1, y1]), jnp.float32(z1),
+            jnp.asarray(P), jnp.asarray(K), jnp.asarray(D),
+            jnp.float32(72.0), jnp.float32(96.0))
+
+    _, v_b = image_to_map_correspondence(*args, cfg_b)
+    _, v_s = image_to_map_correspondence(*args, cfg_s)
+    v_b, v_s = np.asarray(v_b), np.asarray(v_s)
+    assert v_b.sum() > 50          # scene is non-trivial
+    both = v_b | v_s
+    disagree = (v_b != v_s).sum() / max(both.sum(), 1)
+    assert disagree < 0.06, f"disagreement {disagree:.3f}"
+    # occluded region behind the tall wall must be occluded in both
+    iou = (v_b & v_s).sum() / max(both.sum(), 1)
+    assert iou > 0.94
