@@ -186,3 +186,31 @@ def test_service_aux_services(rng):
     svc.mapper.get_map_with_name_ref("elevation", elev)
     inner = elev[10:-10, 10:-10]
     assert np.isfinite(inner).sum() > 0  # initializer repopulated the map
+
+
+def test_native_frame_ring(rng):
+    """Native slab ring buffer: bounded memory, drop policies, stats."""
+    from elevation_mapping_cupy_tpu.runtime.native import FrameRing
+
+    ring = FrameRing(capacity=3, slab_bytes=4096, header_bytes=16)
+    payloads = [rng.standard_normal(i + 4).astype(np.float32) for i in range(5)]
+    results = [ring.push(f"h{i}".encode(), p) for i, p in enumerate(payloads)]
+    assert results == [True, True, True, False, False]  # drop-newest
+    assert len(ring) == 3
+    h, p = ring.pop()
+    assert h[:2] == b"h0"
+    np.testing.assert_array_equal(p.view(np.float32), payloads[0])
+    s = ring.stats()
+    assert s["dropped"] == 2
+
+    old = FrameRing(capacity=2, slab_bytes=64, header_bytes=8, drop_oldest=True)
+    for i in range(4):
+        old.push(bytes([65 + i]), np.int32([i]))
+    h, p = old.pop()
+    assert p.view(np.int32)[0] == 2  # two oldest were overwritten
+
+    # oversized payload raises (native) — bounded memory is a contract
+    import pytest as _pytest
+    if ring._ring is not None:
+        with _pytest.raises(ValueError):
+            ring.push(b"x", np.zeros(4097, np.uint8))
