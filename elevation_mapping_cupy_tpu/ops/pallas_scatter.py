@@ -57,7 +57,14 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(vals_ref, out_ref, *, k_streams, exact, hp, wp):
-    """out_ref: (hp, K*wp) — stream k occupies lanes [k*wp, (k+1)*wp)."""
+    """out_ref: (hp, K*wp) — stream k occupies lanes [k*wp, (k+1)*wp).
+
+    All value parts ride ONE dot_general per grid step: the per-part
+    B-operands (ohc * part) are concatenated along the lane axis so the MXU
+    sees a single (P, hp)^T @ (P, n_parts*wp) contraction — same FLOPs as
+    per-part dots but one matmul for Mosaic to schedule (minutes less
+    compile) and a wider N dim for the systolic array.
+    """
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -74,30 +81,43 @@ def _kernel(vals_ref, out_ref, *, k_streams, exact, hp, wp):
         jnp.bfloat16
     )
 
-    contract = (((0,), (0,)), ((), ()))
+    bs = []
+    owners = []  # output stream per part
     for k in range(k_streams):
         v = vals_ref[0, :, 2 + k : 3 + k]  # (P, 1) f32
         if exact[k]:
             parts = (v.astype(jnp.bfloat16),)
         else:
-            # 3-way bf16 split: hi+mid+lo carries ~24 mantissa bits, so the
-            # f32-accumulated sum is f32-exact up to the final rounding
+            # 3-way bf16 split: hi+mid+lo carries ~24 mantissa bits; each
+            # part is matmul'd separately with f32 accumulation (summing the
+            # bf16 operands first would re-round), so the final sum matches
+            # a native f32 scatter up to final rounding
             hi = v.astype(jnp.bfloat16)
             r1 = v - hi.astype(jnp.float32)
             mid = r1.astype(jnp.bfloat16)
             lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
             parts = (hi, mid, lo)
-        # each part hits the MXU separately (f32 accumulation of dot
-        # results); summing the bf16 operands first would re-round
-        acc = out_ref[:, k * wp : (k + 1) * wp]
         for part in parts:
-            acc = acc + jax.lax.dot_general(
-                ohr,
-                ohc * part,
-                dimension_numbers=contract,
-                preferred_element_type=jnp.float32,
-            )
-        out_ref[:, k * wp : (k + 1) * wp] = acc
+            bs.append(ohc * part)
+            owners.append(k)
+
+    b_cat = jnp.concatenate(bs, axis=1)  # (P, n_parts*wp)
+    res = jax.lax.dot_general(
+        ohr,
+        b_cat,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (hp, n_parts*wp)
+
+    # fold part columns into their stream's output block
+    updates = []
+    for k in range(k_streams):
+        mine = [j for j, o in enumerate(owners) if o == k]
+        u = res[:, mine[0] * wp : (mine[0] + 1) * wp]
+        for j in mine[1:]:
+            u = u + res[:, j * wp : (j + 1) * wp]
+        updates.append(u)
+    out_ref[...] = out_ref[...] + jnp.concatenate(updates, axis=1)
 
 
 def _call_pallas(rows, cols, values, h, w, exact, interpret):
