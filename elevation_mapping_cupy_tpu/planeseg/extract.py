@@ -244,7 +244,14 @@ def _morph_cross(mask: jax.Array, r: int, erode: bool) -> jax.Array:
 
 def connected_components(mask: jax.Array, connectivity: int = 4, max_iters: int = 0) -> jax.Array:
     """4/8-connected component labels: 0 = background, components keep the
-    (flat-index+1) of their minimal member — made compact by extract_planes."""
+    (flat-index+1) of their minimal member — made compact by extract_planes.
+
+    Each round does one neighbor min-propagation followed by a pointer-jump
+    (label <- label of the cell that coined the label), so convergence is
+    O(log diameter) rounds instead of O(diameter): a label value v encodes
+    flat cell index v-1, which is always a mask cell of the same component,
+    so hopping to its current label is monotone-decreasing and stays inside
+    the component."""
     H, W = mask.shape
     if max_iters <= 0:
         max_iters = 2 * (H + W)
@@ -271,7 +278,12 @@ def connected_components(mask: jax.Array, connectivity: int = 4, max_iters: int 
                 nb = nb.at[:, dx:].set(0)
             cand = jnp.where(mask & (nb > 0), nb, big)
             best = jnp.minimum(best, cand)
-        return jnp.where(mask, best, 0)
+        best = jnp.where(mask, best, 0)
+        # pointer jump (twice): follow the label to its coining cell's label
+        for _ in range(2):
+            hop = best.reshape(-1)[jnp.maximum(best, 1) - 1].reshape(H, W)
+            best = jnp.where(mask, jnp.minimum(best, hop), 0)
+        return best
 
     def cond(carry):
         labels, prev, it = carry
@@ -395,6 +407,7 @@ def extract_planes(
 # preprocessing (GridMapPreprocessing.cpp:14-39)
 # ---------------------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnames=("inpaint_iters", "median_passes"))
 def preprocess(height: jax.Array, inpaint_iters: int = 4, median_passes: int = 1) -> jax.Array:
     """min-values inpaint (grid_map_filters_rsl inpainting::minValues,
     inpainting.cpp:25-94) then 3x3 median denoise."""
@@ -418,9 +431,23 @@ def preprocess(height: jax.Array, inpaint_iters: int = 4, median_passes: int = 1
 
     for _ in range(median_passes):
         pad = jnp.pad(h, 1, mode="edge")
-        stack = jnp.stack(
-            [pad[dy : dy + H, dx : dx + W] for dy in range(3) for dx in range(3)]
-        )
-        med = jnp.median(stack, axis=0)
-        h = jnp.where(jnp.isfinite(h), med, h)
+        v = [pad[dy : dy + H, dx : dx + W] for dy in range(3) for dx in range(3)]
+        h = jnp.where(jnp.isfinite(h), _median9(v), h)
     return h
+
+
+def _median9(v):
+    """Median of 9 via Paeth's 19-exchange network — pure VPU min/max,
+    no sort (cheaper than jnp.median's general sort on TPU and CPU)."""
+    v = list(v)
+
+    def mnmx(i, j):
+        lo = jnp.minimum(v[i], v[j])
+        hi = jnp.maximum(v[i], v[j])
+        v[i], v[j] = lo, hi
+
+    for i, j in [(1, 2), (4, 5), (7, 8), (0, 1), (3, 4), (6, 7), (1, 2), (4, 5),
+                 (7, 8), (0, 3), (5, 8), (4, 7), (3, 6), (1, 4), (2, 5), (4, 7),
+                 (4, 2), (6, 4), (4, 2)]:
+        mnmx(i, j)
+    return v[4]

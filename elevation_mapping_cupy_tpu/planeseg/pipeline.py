@@ -171,6 +171,7 @@ class PlaneDecompositionPipeline:
         )
 
 
+@jax.jit
 def _smooth_planar_layer(h: jax.Array) -> jax.Array:
     """'smooth_planar' layer: NaN fill → box+gauss-ish blur
     (Postprocessing.cpp:73-144, simplified to the blur cascade)."""
