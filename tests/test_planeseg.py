@@ -40,6 +40,34 @@ def test_connected_components_two_blobs():
     assert len(np.unique(labels[2:6, 2:6])) == 1
 
 
+@pytest.mark.parametrize("connectivity", [4, 8])
+def test_connected_components_matches_scipy(rng, connectivity):
+    """Random masks incl. snaky shapes: label partition must equal scipy's
+    (pointer-jumping must not merge/split components)."""
+    from scipy import ndimage
+
+    struct = (np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]])
+              if connectivity == 4 else np.ones((3, 3)))
+    for density in (0.35, 0.55, 0.75):
+        mask = rng.random((40, 40)) < density
+        # carve a spiral-ish long path to stress propagation depth
+        mask[1, 1:-1] = True
+        mask[1:-1, -2] = True
+        mask[-2, 1:-1] = True
+        ours = np.asarray(connected_components(jnp.asarray(mask), connectivity))
+        ref, n_ref = ndimage.label(mask, structure=struct)
+        assert (ours[~mask] == 0).all()
+        assert len(np.unique(ours[mask])) == n_ref
+        # same partition: our label must be constant on each scipy component
+        # and distinct across components
+        mapping = {}
+        for lab in np.unique(ref[mask]):
+            vals = np.unique(ours[ref == lab])
+            assert len(vals) == 1, f"component {lab} split"
+            assert vals[0] not in mapping.values(), f"component {lab} merged"
+            mapping[lab] = vals[0]
+
+
 def two_plane_terrain(n=48):
     h = np.zeros((n, n), np.float32)
     h[:, n // 2 :] = 0.5
