@@ -3,3 +3,4 @@ from .batch import init_batch, batched_update, batched_move_to, shard_states, ba
 from . import halo  # noqa: F401
 from . import distributed  # noqa: F401
 from . import spatial  # noqa: F401
+from . import checkpoint  # noqa: F401
