@@ -200,6 +200,21 @@ def max_value_between_locations(
     return jnp.nanmax(vals)
 
 
+def project_to_map_with_margin(
+    position: jax.Array,       # (..., 2) world xy
+    map_position: jax.Array,   # (2,) map center in world
+    map_length: Tuple[float, float],
+    margin: float = 0.0,
+) -> jax.Array:
+    """Clamp a world position into the map bounds shrunk by `margin`
+    (lookup.cpp:73-96; margin is capped at half the map length)."""
+    half = jnp.asarray(map_length, position.dtype) * 0.5
+    m = jnp.minimum(jnp.maximum(margin, 0.0), jnp.min(half))
+    lo = map_position - half + m
+    hi = map_position + half - m
+    return jnp.clip(position, lo, hi)
+
+
 def estimate_gradient(h: jax.Array, resolution: float) -> Tuple[jax.Array, jax.Array]:
     """Central-difference gradient (GridMapDerivative.cpp:28-49).
 

@@ -128,6 +128,17 @@ def test_gridmap_filters(rng):
     rs = gmf.resample(jnp.asarray(ramp), (16, 16))
     assert rs.shape == (16, 16)
 
+    # projectToMapWithMargin: outside point clamps to margin-shrunk bounds
+    p = gmf.project_to_map_with_margin(
+        jnp.asarray([10.0, -10.0]), jnp.asarray([1.0, 1.0]), (4.0, 4.0), margin=0.5
+    )
+    np.testing.assert_allclose(np.asarray(p), [2.5, -0.5], atol=1e-6)
+    # inside point unchanged; margin capped at half length
+    p2 = gmf.project_to_map_with_margin(
+        jnp.asarray([1.0, 1.2]), jnp.asarray([1.0, 1.0]), (4.0, 4.0), margin=9.0
+    )
+    np.testing.assert_allclose(np.asarray(p2), [1.0, 1.0], atol=1e-6)
+
 
 def test_semantic_image_node(rng):
     """SemanticImageNode: resize scaling, channel stack, intrinsics, vis."""
