@@ -161,3 +161,81 @@ def test_move_to_shifts_map(rng):
     assert got[2, 3, 5] == 1.0
     assert got[2, 5, 5] == 0.0
     np.testing.assert_allclose(np.asarray(state2.center), [0.2, 0.0, 0.1], atol=1e-6)
+
+
+def _golden_move_to(gstate, center, position, cfg):
+    """NumPy mirror of core.move_to (elevation_mapping.py:154-170 semantics):
+    integer-cell roll with border reset (variance -> initial_variance),
+    z handled additively on elevation + upper_bound."""
+    # mirror the engine's f32 arithmetic: at exact half-cell boundaries
+    # f32 vs f64 round-half-even can differ by one cell
+    delta = np.asarray(position, np.float32) - center.astype(np.float32)
+    delta_pixel = np.round(delta[:2] / np.float32(cfg.resolution)).astype(int)
+    center = center.copy()
+    center[:2] += delta_pixel * cfg.resolution
+    center[2] += delta[2]
+    s0, s1 = -delta_pixel[0], -delta_pixel[1]
+    m = np.roll(gstate.m, (s0, s1), axis=(1, 2))
+    n = cfg.cell_n
+
+    def revealed(shift, size):
+        mask = np.zeros(size, bool)
+        if shift > 0:
+            mask[:shift] = True
+        elif shift < 0:
+            mask[shift:] = True
+        return mask
+
+    row_mask = revealed(s0, n)[:, None] | revealed(s1, n)[None, :]
+    for k in range(7):
+        m[k][row_mask] = cfg.initial_variance if k == 1 else 0.0
+    m[0] -= np.float32(delta[2])
+    m[5] -= np.float32(delta[2])
+    gstate.m = m
+    return gstate, center
+
+
+def test_trajectory_with_recentering_matches_golden(rng):
+    """Multi-frame trajectory: update -> move_to -> update ... against the
+    NumPy oracle (catches state-threading / centering bugs the single-shot
+    golden cannot)."""
+    weights = make_weights(rng)
+    wnp = tuple(np.asarray(w) for w in weights)
+
+    state = init_state(CFG)
+    gstate = gold.GoldenState(
+        m=np.asarray(state.layers).copy(), normal=np.asarray(state.normal).copy()
+    )
+    gcenter = np.zeros(3)
+    R = np.eye(3, dtype=np.float32)
+
+    for it in range(4):
+        # robot walks diagonally; sensor above the robot
+        robot = np.array([0.23 * it, -0.17 * it, 0.02 * it], np.float64)
+        t = (robot + [0.0, 0.0, 0.5]).astype(np.float32)
+        pts = make_cloud(rng, 1200)
+        pts[:, :2] += robot[:2].astype(np.float32)  # terrain around the robot
+
+        padded, mask = pad(pts, CFG.max_points)
+        state = core.update_pointcloud(
+            state, jnp.asarray(padded), jnp.asarray(mask), jnp.asarray(R),
+            jnp.asarray(t), jnp.float32(0.2), jnp.float32(0.0), weights, CFG,
+        )
+        # golden works in the map-center frame: sensor-frame points are
+        # unchanged, the translation shifts by the full 3D center
+        gstate, _ = gold.update_pointcloud(
+            gstate, pts, R, t - gcenter.astype(np.float32), 0.2, 0.0, CFG,
+            weights=wnp,
+        )
+
+        state = core.move_to(state, jnp.asarray(robot, jnp.float32), jnp.asarray(R), CFG)
+        gstate, gcenter = _golden_move_to(gstate, gcenter, robot, CFG)
+        # golden normal is not shifted (matches engine: normals refresh on update)
+        gstate.normal = np.asarray(state.normal).copy()
+
+    got = np.asarray(state.layers)
+    np.testing.assert_allclose(
+        np.asarray(state.center), gcenter.astype(np.float32), atol=1e-5
+    )
+    for k, atol in [(0, 3e-4), (1, 3e-4), (2, 3e-4), (4, 1e-5), (5, 3e-4), (6, 1e-5)]:
+        np.testing.assert_allclose(got[k], gstate.m[k], atol=atol, err_msg=f"layer {k}")
