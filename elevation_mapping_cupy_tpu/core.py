@@ -29,6 +29,7 @@ from .state import MapState
 __all__ = [
     "update_pointcloud",
     "update_pointcloud_semantic",
+    "input_image",
     "move_to",
     "move",
     "shift_map_xy",
@@ -203,22 +204,38 @@ def input_image(
         if state.sem_new.shape[0]
         else state.sem_new
     )
+    # Channel -> image-plane mapping: a color channel consumes THREE planes
+    # (the C++ node validates "rgb counts for 3 layers",
+    # elevation_mapping_ros.cpp:428-441). The reference Python then indexes
+    # fusions by channel POSITION (image[j], image_exponential.py:69), which
+    # silently reads the wrong plane whenever a color channel precedes a
+    # mono one — here a plane cursor advances by each channel's true width.
+    plane_of = {}
+    cursor = 0
+    for col, ch in enumerate(channels):
+        plane_of[col] = cursor
+        fus = cfg.fusion_for_channel(ch, "image")
+        cursor += 3 if (fus == "color" or ch == "rgb") else 1
+
     semantic = state.semantic
     for col, lay, fusion in resolve_channels(channels, cfg, "image"):
+        off = plane_of[col]
         if fusion == "color":
             semantic = semantic.at[lay].set(
-                img_ops.image_fuse_color(semantic[lay], image[:3], uv, valid, image_width)
+                img_ops.image_fuse_color(
+                    semantic[lay], image[off : off + 3], uv, valid, image_width
+                )
             )
         elif fusion == "exponential":
             semantic = semantic.at[lay].set(
                 img_ops.image_fuse_exponential(
-                    semantic[lay], image[col], uv, valid, image_width,
+                    semantic[lay], image[off], uv, valid, image_width,
                     cfg.image_exponential_alpha,
                 )
             )
         elif fusion == "average":
             semantic = semantic.at[lay].set(
-                img_ops.image_fuse_replace(semantic[lay], image[col], uv, valid, image_width)
+                img_ops.image_fuse_replace(semantic[lay], image[off], uv, valid, image_width)
             )
     return state._replace(semantic=semantic, sem_new=sem_new)
 
@@ -268,9 +285,9 @@ def shift_map_xy(state: MapState, delta_pixel: jax.Array, cfg: MapConfig) -> Map
     (variance to initial_variance, everything else 0)."""
     shift = delta_pixel.astype(jnp.int32)
     layers = _roll_pad(state.layers, shift, 0.0)
-    # variance layer pads with initial_variance (elevation_mapping.py:213)
-    var = _pad_rolled(jnp.roll(state.layers[1], shift, axis=(0, 1)), shift, cfg.initial_variance, 0, 1)
-    layers = layers.at[1].set(var)
+    # variance layer pads with initial_variance (elevation_mapping.py:213);
+    # re-mask the already-rolled slice instead of rolling it a second time
+    layers = layers.at[1].set(_pad_rolled(layers[1], shift, cfg.initial_variance, 0, 1))
     semantic = _roll_pad(state.semantic, shift, 0.0) if state.semantic.shape[0] else state.semantic
     sem_new = _roll_pad(state.sem_new, shift, 0.0) if state.sem_new.shape[0] else state.sem_new
     id_max = (

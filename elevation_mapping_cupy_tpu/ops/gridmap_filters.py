@@ -93,37 +93,58 @@ def resample(h: jax.Array, out_shape: Tuple[int, int]) -> jax.Array:
 
 
 def median_filter(h: jax.Array, size: int = 3) -> jax.Array:
+    """NaN-aware kxk median: holes are excluded; all-NaN windows stay NaN."""
     pad = size // 2
     H, W = h.shape
     p = jnp.pad(h, pad, mode="edge")
     stack = jnp.stack(
         [p[dy : dy + H, dx : dx + W] for dy in range(size) for dx in range(size)]
     )
-    return jnp.median(stack, axis=0)
+    return jnp.nanmedian(stack, axis=0)
 
 
 def box_blur(h: jax.Array, size: int = 3, passes: int = 1) -> jax.Array:
+    """NaN-aware box blur: averages the finite neighbors only, so a hole
+    neither poisons its neighborhood nor grows with repeated passes."""
     pad = size // 2
     out = h
     for _ in range(passes):
-        p = jnp.pad(out, pad, mode="edge")
+        fin = jnp.isfinite(out)
+        p = jnp.pad(jnp.where(fin, out, 0.0), pad, mode="edge")
+        pm = jnp.pad(fin.astype(h.dtype), pad, mode="edge")
         acc = jnp.zeros_like(out)
+        cnt = jnp.zeros_like(out)
         for dy in range(size):
             for dx in range(size):
                 acc = acc + p[dy : dy + h.shape[0], dx : dx + h.shape[1]]
-        out = acc / (size * size)
+                cnt = cnt + pm[dy : dy + h.shape[0], dx : dx + h.shape[1]]
+        out = jnp.where(cnt > 0, acc / jnp.maximum(cnt, 1.0), jnp.nan)
     return out
 
 
 def gaussian_blur(h: jax.Array, size: int = 5, sigma: float = 1.0) -> jax.Array:
+    """NaN-aware separable Gaussian: per-pass mask-renormalized weights."""
     pad = size // 2
     xs = jnp.arange(size) - pad
     k = jnp.exp(-(xs**2) / (2 * sigma**2))
     k = k / jnp.sum(k)
-    p = jnp.pad(h, ((0, 0), (pad, pad)), mode="edge")
-    out = sum(k[i] * p[:, i : i + h.shape[1]] for i in range(size))
-    p = jnp.pad(out, ((pad, pad), (0, 0)), mode="edge")
-    return sum(k[i] * p[i : i + h.shape[0], :] for i in range(size))
+
+    def pass_1d(v, axis):
+        fin = jnp.isfinite(v)
+        vz = jnp.where(fin, v, 0.0)
+        m = fin.astype(v.dtype)
+        padding = [(0, 0), (pad, pad)] if axis == 1 else [(pad, pad), (0, 0)]
+        pv = jnp.pad(vz, padding, mode="edge")
+        pm = jnp.pad(m, padding, mode="edge")
+        if axis == 1:
+            num = sum(k[i] * pv[:, i : i + v.shape[1]] for i in range(size))
+            den = sum(k[i] * pm[:, i : i + v.shape[1]] for i in range(size))
+        else:
+            num = sum(k[i] * pv[i : i + v.shape[0], :] for i in range(size))
+            den = sum(k[i] * pm[i : i + v.shape[0], :] for i in range(size))
+        return jnp.where(den > 0, num / jnp.maximum(den, 1e-30), jnp.nan)
+
+    return pass_1d(pass_1d(h, 1), 0)
 
 
 def _morph(h: jax.Array, size: int, op) -> jax.Array:

@@ -78,8 +78,6 @@ def visibility_cleanup_exact(
         jnp.full(p.shape[:1], -1, jnp.int32),          # last cell per ray
     )
 
-    dec_per_hit = None  # computed inside; depends on ray_length
-
     def body(carry, s):
         dec, var, ubmin, last = carry
         sample = t + rdir * s[..., None]               # (N, 3)
@@ -147,21 +145,6 @@ def visibility_cleanup_exact(
     flat = flat.at[5].set(jnp.where(wrote, ubmin, flat[5]))
     flat = flat.at[6].set(jnp.where(wrote, 1.0, flat[6]))
     return flat.reshape(7, n, n)
-
-
-def _ring_prefix_query(pref: jax.Array, total: jax.Array, lo: jax.Array, hi: jax.Array, A: int):
-    """Wrapped range-sum over a ring using an azimuth prefix sum.
-
-    pref: (A, ...) inclusive prefix along axis 0; total = pref[-1].
-    Returns sum over azimuth indices in the wrapped window [lo, hi].
-    """
-    hi_v = pref[hi % A]
-    lo_m1 = (lo - 1) % A
-    lo_v = jnp.where((lo % A) == 0, 0.0, pref[lo_m1])
-    wrapped = (lo % A) > (hi % A)
-    direct = hi_v - lo_v
-    inv = total - (lo_v - hi_v)
-    return jnp.where(wrapped, inv, direct)
 
 
 def visibility_cleanup_polar(

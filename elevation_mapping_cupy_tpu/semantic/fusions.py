@@ -196,8 +196,9 @@ def fuse_class_bayesian(
     (pointcloud_class_bayesian.py:53-75). sem_new (alpha) persists across
     updates (delete_new_layers=0, semantic_map.py:54-56)."""
     n = cfg.cell_n
-    # alpha_kernel adds the feature value when theta >= 0 (single-layer loop)
-    f = jnp.maximum(feats, 0.0) + jnp.minimum(feats, 0.0)  # passthrough; doc parity
+    # alpha_kernel: theta < 0 leaves (arg_max=0, theta_max=0) and adds 0 —
+    # negative features contribute nothing (custom_semantic_kernels.py:150-157)
+    f = jnp.maximum(feats, 0.0)
     sums = _sum_features(n * n, assoc, f).reshape(-1, n, n)
     new = up.sem_new
     for k, lay in enumerate(layer_ids):
@@ -224,7 +225,14 @@ def fuse_class_max(
     The reference's dynamic `cp.unique` over present class ids becomes a
     static-size `jnp.unique(..., size=max_classes)` bucketing, then a
     per-(point, layer) scatter into (bucket, cell) probability sums and a
-    per-layer arg-max sweep.
+    per-layer arg-max sweep. Class ids beyond `max_classes` distinct values
+    are dropped (masked, never mis-credited to another bucket).
+
+    Note the overwrite semantics are reference-faithful: the reference also
+    rebuilds new_map purely from the current cloud's prob_sum — its
+    "add the previous alpha" merge is commented out as TODO
+    (pointcloud_class_max.py:108-113); persistence of sem_new/id_max only
+    affects id bucketing (unique over existing ids) and map shifting.
     """
     n = cfg.cell_n
     lays = jnp.asarray(list(layer_ids))
@@ -235,10 +243,14 @@ def fuse_class_max(
     cand = jnp.concatenate([cls.reshape(-1), existing])
     uniq = jnp.unique(cand, size=max_classes, fill_value=jnp.uint32(0xFFFFFFFF))
 
-    # bucket each (point, layer) class id
+    # bucket each (point, layer) class id; ids that fell off the static
+    # unique (> max_classes distinct) would searchsorted onto a different
+    # class's bucket — mask them out instead
     bucket = jnp.searchsorted(uniq, cls.reshape(-1))  # (N*L,)
+    bucket = jnp.minimum(bucket, max_classes - 1)
+    found = uniq[bucket] == cls.reshape(-1)
     cell = jnp.repeat(assoc.flat_idx, feats.shape[1])
-    pmask = jnp.repeat(mask, feats.shape[1])
+    pmask = jnp.repeat(mask, feats.shape[1]) & found
     flat = bucket.astype(jnp.int32) * (n * n) + cell.astype(jnp.int32)
     prob_sum = scatter.scatter_add(
         max_classes * n * n, flat, prob.reshape(-1), pmask

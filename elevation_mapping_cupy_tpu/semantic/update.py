@@ -43,7 +43,12 @@ def resolve_channels(channels: Sequence[str], cfg: MapConfig, kind: str = "point
 
 
 def persistent_mask(cfg: MapConfig) -> Tuple[bool, ...]:
-    """Per-layer: does sem_new persist across updates (delete_new_layers=0)?"""
+    """Per-layer: does sem_new persist across updates (delete_new_layers=0)?
+
+    Intentionally resolved through the POINTCLOUD fusion table for both
+    paths: the reference's initialize_fusion flips delete_new_layers only
+    from layer_specs_points (semantic_map.py:52-61), so image-path resets
+    follow the pointcloud persistence decision there too."""
     out = []
     for name in cfg.semantic_layers:
         fusion = cfg.fusion_for_channel(name, "pointcloud")

@@ -155,3 +155,42 @@ def test_shadow_occlusion_matches_bresenham(rng):
     # occluded region behind the tall wall must be occluded in both
     iou = (v_b & v_s).sum() / max(both.sum(), 1)
     assert iou > 0.94
+
+
+def test_input_image_mixed_color_and_mono_planes(rng):
+    """'rgb' consumes THREE image planes (elevation_mapping_ros.cpp:428-441):
+    a mono channel after a color one must read plane 3, not plane 1."""
+    cfg = MapConfig(
+        resolution=0.1, map_length=2.0, max_points=256,
+        image_occlusion_mode="bresenham",
+        semantic_layers=("rgb", "mask"),
+        image_channel_fusions=(("rgb", "color"), ("mask", "exponential"),
+                               ("default", "exponential")),
+    )
+    n = cfg.cell_n
+    state = init_state(cfg)
+    h = rng.uniform(-0.02, 0.02, (n, n)).astype(np.float32)
+    layers = state.layers.at[0].set(jnp.asarray(h)).at[2].set(1.0)
+    state = state._replace(layers=layers)
+
+    K = np.array([[50, 0, 32], [0, 50, 24], [0, 0, 1]], np.float32)
+    Rm = np.array([[1, 0, 0], [0, -1, 0], [0, 0, -1]], np.float32)
+    t = np.array([0.0, 0.0, 1.0], np.float32)
+    ih, iw = 48, 64
+    # planes: R, G, B, mask — green differs from mask so misindexing is caught
+    img = np.stack([
+        np.full((ih, iw), 0.2, np.float32),
+        np.full((ih, iw), 0.4, np.float32),
+        np.full((ih, iw), 0.6, np.float32),
+        np.full((ih, iw), 0.9, np.float32),
+    ])
+    out = core.input_image(
+        state, jnp.asarray(img), jnp.asarray(Rm), jnp.asarray(t),
+        jnp.asarray(K), jnp.zeros(5), cfg, ("rgb", "mask"),
+    )
+    sem = np.asarray(out.semantic)
+    touched = sem[1] != 0
+    assert touched.sum() > 10
+    # exponential fusion from 0: new = (1-alpha)*old + alpha*img = alpha*img
+    expect = cfg.image_exponential_alpha * 0.9
+    np.testing.assert_allclose(sem[1][touched], expect, atol=1e-5)

@@ -128,6 +128,17 @@ def test_gridmap_filters(rng):
     rs = gmf.resample(jnp.asarray(ramp), (16, 16))
     assert rs.shape == (16, 16)
 
+    # NaN-awareness (module contract): a hole must not poison or grow
+    hole = filled.copy()
+    hole[16, 16] = np.nan
+    for fn in (lambda v: gmf.box_blur(v, 3), lambda v: gmf.gaussian_blur(v, 5),
+               lambda v: gmf.median_filter(v, 3)):
+        r = np.asarray(fn(jnp.asarray(hole)))
+        assert np.isfinite(np.delete(r.reshape(-1), 16 * 32 + 16)).all(), fn
+    # all-NaN neighborhood stays NaN in box blur
+    allnan = np.full((8, 8), np.nan, np.float32)
+    assert np.isnan(np.asarray(gmf.box_blur(jnp.asarray(allnan)))).all()
+
     # projectToMapWithMargin: outside point clamps to margin-shrunk bounds
     p = gmf.project_to_map_with_margin(
         jnp.asarray([10.0, -10.0]), jnp.asarray([1.0, 1.0]), (4.0, 4.0), margin=0.5

@@ -223,3 +223,75 @@ def test_color(rng):
     want = ((rm << 16) | (gm << 8) | bm).view(np.float32)
     got = np.asarray(state.semantic[0]).reshape(-1)[has]
     np.testing.assert_array_equal(got.view(np.uint32), want.view(np.uint32))
+
+
+def test_class_bayesian_drops_negative_features(rng):
+    """alpha_kernel adds nothing for theta < 0 (custom_semantic_kernels.py:
+    150-157: arg_max stays 0, theta_max stays 0)."""
+    channels = ["a", "b"]
+    def feats(r, n, u):
+        f = r.uniform(-1, 1, (n, 2)).astype(np.float32)
+        return f
+    cfg, state, hist, (R, t) = run_semantic(
+        rng, (("default", "class_bayesian"),), channels, feats, n_updates=2,
+    )
+    alpha = np.zeros((2, cfg.cell_n, cfg.cell_n), np.float64)
+    for pts, fv in hist:
+        world, idx, mask = golden_assoc_and_cnt(cfg, pts, R, t)
+        for k in range(2):
+            alpha[k] += scatter_sum(cfg, idx, mask, np.maximum(fv[:, k], 0.0))
+    np.testing.assert_allclose(np.asarray(state.sem_new), alpha, atol=1e-4)
+    assert (np.asarray(state.sem_new) >= 0).all()
+
+
+def test_class_max_overflow_ids_are_dropped_not_miscredited(rng):
+    """More distinct class ids than the static bucket count: overflow ids
+    must be dropped, never credited to another class's bucket."""
+    from elevation_mapping_cupy_tpu.semantic.fusions import fuse_class_max, SemanticUpdate
+    from elevation_mapping_cupy_tpu.ops.geometry import associate_points
+
+    cfg = MapConfig(
+        pointcloud_channel_fusions=(("default", "class_max"),),
+        semantic_layers=("m1",), **CFG_BASE,
+    )
+    n_pts = 400
+    pts = rng.uniform(-0.9, 0.9, (n_pts, 3)).astype(np.float32)
+    pts[:, 2] = rng.uniform(-0.1, 0.3, n_pts)
+    prob = rng.uniform(0.2, 1, n_pts).astype(np.float32)
+    cls = rng.integers(1, 40, n_pts).astype(np.uint32)   # 39 distinct ids
+    enc = np_encode_max(prob, cls)[:, None]
+
+    padded = np.zeros((cfg.max_points, 3), np.float32)
+    padded[:n_pts] = pts
+    mask = np.zeros(cfg.max_points, bool); mask[:n_pts] = True
+    fpad = np.zeros((cfg.max_points, 1), np.float32); fpad[:n_pts] = enc
+    assoc = associate_points(jnp.asarray(padded), jnp.asarray(mask),
+                             jnp.eye(3), jnp.asarray([0, 0, 0.5], jnp.float32), cfg)
+    up = SemanticUpdate(
+        semantic=jnp.zeros((1, cfg.cell_n, cfg.cell_n)),
+        sem_new=jnp.zeros((1, cfg.cell_n, cfg.cell_n)),
+        id_max=jnp.zeros((1, cfg.cell_n, cfg.cell_n), jnp.uint32),
+    )
+    max_classes = 8
+    out = fuse_class_max(up, assoc, jnp.asarray(fpad), [0],
+                         jnp.zeros((cfg.cell_n, cfg.cell_n)), cfg,
+                         max_classes=max_classes)
+
+    # kept = smallest (max_classes) unique ids incl. 0 from the empty id_max
+    kept = np.unique(np.concatenate([cls[:], np.zeros(1, np.uint32)]))[:max_classes]
+    world, idx, pmask = golden_assoc_and_cnt(cfg, pts, np.eye(3, dtype=np.float32),
+                                             np.array([0, 0, 0.5], np.float32))
+    p16 = prob.astype(np.float16).astype(np.float64)
+    best = np.zeros(cfg.cell_n * cfg.cell_n, np.float64)
+    best_id = np.zeros(cfg.cell_n * cfg.cell_n, np.uint32)
+    for c in kept:
+        s = np.zeros(cfg.cell_n * cfg.cell_n, np.float64)
+        sel = pmask & (cls == c)
+        np.add.at(s, idx[sel], p16[sel])
+        upd = s > best
+        best = np.where(upd, s, best)
+        best_id = np.where(upd, c, best_id)
+    got = np.asarray(out.sem_new[0]).reshape(-1)
+    np.testing.assert_allclose(got, best, atol=1e-3)
+    nz = best > 0
+    np.testing.assert_array_equal(np.asarray(out.id_max[0]).reshape(-1)[nz], best_id[nz])
