@@ -16,6 +16,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -295,37 +296,25 @@ class ElevationMap:
             m = m + self.state.center[2]
         return m[1:-1, 1:-1]
 
+    # single source of truth for the export semantics is the jitted
+    # _export_layer — these named getters are thin unflipped views
     def get_elevation(self):
-        return self._process_for_publish(self.state.layers[0], fill_nan=True, add_z=True)
+        return _export_layer(self.state, self.cfg, "elevation")
 
     def get_variance(self):
-        return self._process_for_publish(self.state.layers[1])
+        return _export_layer(self.state, self.cfg, "variance")
 
     def get_traversability(self):
-        L = self.state.layers
-        trav = jnp.where((L[2] + L[6]) > 0.5, L[3], jnp.nan)
-        buf = jnp.full_like(trav, jnp.nan)
-        buf = buf.at[3:-3, 3:-3].set(trav[3:-3, 3:-3])
-        return buf[1:-1, 1:-1]
+        return _export_layer(self.state, self.cfg, "traversability")
 
     def get_time(self):
-        return self._process_for_publish(self.state.layers[4])
-
-    def _upper_bound_valid(self):
-        L = self.state.layers
-        if self.cfg.use_only_above_for_upper_bound:
-            return ((L[5] > 0.0) & (L[6] > 0.5)) | (L[2] > 0.5)
-        return (L[2] > 0.5) | (L[6] > 0.5)
+        return _export_layer(self.state, self.cfg, "time")
 
     def get_upper_bound(self):
-        L = self.state.layers
-        ub = jnp.where(self._upper_bound_valid(), L[5], jnp.nan)
-        return ub[1:-1, 1:-1] + self.state.center[2]
+        return _export_layer(self.state, self.cfg, "upper_bound")
 
     def get_is_upper_bound(self):
-        L = self.state.layers
-        iub = jnp.where(self._upper_bound_valid(), L[6], jnp.nan)
-        return iub[1:-1, 1:-1]
+        return _export_layer(self.state, self.cfg, "is_upper_bound")
 
     def exists_layer(self, name: str) -> bool:
         return (
@@ -353,27 +342,12 @@ class ElevationMap:
         data[...] = np.asarray(m, np.float32)
 
     def _get_named_map(self, name: str):
-        if name == "elevation":
-            return self.get_elevation()
-        if name == "variance":
-            return self.get_variance()
-        if name == "traversability":
-            return self.get_traversability()
-        if name == "time":
-            return self.get_time()
-        if name == "upper_bound":
-            return self.get_upper_bound()
-        if name == "is_upper_bound":
-            return self.get_is_upper_bound()
-        if name == "normal_x":
-            return self.state.normal[0, 1:-1, 1:-1]
-        if name == "normal_y":
-            return self.state.normal[1, 1:-1, 1:-1]
-        if name == "normal_z":
-            return self.state.normal[2, 1:-1, 1:-1]
-        if name in self.semantic_layer_names:
-            idx = self.semantic_layer_names.index(name)
-            return self.state.semantic[idx][1:-1, 1:-1]
+        if (
+            name in self.layer_names
+            or name in ("normal_x", "normal_y", "normal_z")
+            or name in self.semantic_layer_names
+        ):
+            return _export_layer(self.state, self.cfg, name)
         if name in self.plugin_manager.layer_names:
             self.plugin_manager.update_with_name(
                 name,
@@ -522,6 +496,9 @@ class ElevationMap:
                  **{k: np.asarray(v) for k, v in flat.items()})
 
     def load_checkpoint(self, path: str) -> None:
+        # np.savez appends ".npz" when absent; accept the same path here
+        if not path.endswith(".npz") and not os.path.exists(path):
+            path = path + ".npz"
         z = np.load(path, allow_pickle=True)
         sem_layers = tuple(z["semantic_layers"].tolist())
         if sem_layers != self.cfg.semantic_layers:

@@ -55,11 +55,11 @@ def initialize(
         num_processes = int(os.environ["JAX_NUM_PROCESSES"])
     if process_id is None and "JAX_PROCESS_ID" in os.environ:
         process_id = int(os.environ["JAX_PROCESS_ID"])
-    already = jax.process_count() > 1
-    if already:
-        return True
+    # Do NOT touch jax.process_count()/devices() before initialize: querying
+    # them initializes the local backend and distributed bring-up would then
+    # always fail with "must be called before any JAX computations".
     if coordinator_address is None and os.environ.get("TPU_WORKER_HOSTNAMES") is None:
-        return False  # single-process
+        return jax.process_count() > 1  # single-process (backend query now safe)
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -67,8 +67,8 @@ def initialize(
             process_id=process_id,
         )
     except RuntimeError:
-        # backend already initialized (or double-init) — stay single-process
-        return jax.process_count() > 1
+        # already initialized (double-init) — fall through to the probe
+        pass
     return jax.process_count() > 1
 
 

@@ -21,11 +21,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = ["halo_exchange_rows", "sharded_stencil", "sharded_uniform_smooth", "sharded_dilation"]
 
 
-def halo_exchange_rows(x: jax.Array, halo: int, axis_name: str) -> jax.Array:
+def halo_exchange_rows(
+    x: jax.Array, halo: int, axis_name: str, edge: str = "zero"
+) -> jax.Array:
     """Pad a row-sharded block (h, w) with `halo` rows from ring neighbors.
 
-    Edge shards receive zero rows (map border semantics). Returns
-    (h + 2*halo, w).
+    Edge shards (global map border) fill their outer halo per ``edge``:
+      * "zero"      — map-border semantics
+      * "symmetric" — np.pad symmetric reflection of the shard's own rows,
+        so stencils with reflect boundaries match the unsharded op exactly
+      * "neg_inf"   — neutral element for max-dilation
+
+    Returns (h + 2*halo, w).
     """
     n = jax.lax.psum(1, axis_name)
     idx = jax.lax.axis_index(axis_name)
@@ -39,9 +46,17 @@ def halo_exchange_rows(x: jax.Array, halo: int, axis_name: str) -> jax.Array:
     from_prev = jax.lax.ppermute(bot_send, axis_name, fwd)   # rows above my block
     from_next = jax.lax.ppermute(top_send, axis_name, bwd)   # rows below my block
 
-    zero = jnp.zeros_like(from_prev)
-    top_halo = jnp.where(idx == 0, zero, from_prev)
-    bot_halo = jnp.where(idx == n - 1, jnp.zeros_like(from_next), from_next)
+    if edge == "symmetric":
+        top_edge = x[:halo][::-1]
+        bot_edge = x[-halo:][::-1]
+    elif edge == "neg_inf":
+        top_edge = jnp.full_like(from_prev, -jnp.inf)
+        bot_edge = jnp.full_like(from_next, -jnp.inf)
+    else:
+        top_edge = jnp.zeros_like(from_prev)
+        bot_edge = jnp.zeros_like(from_next)
+    top_halo = jnp.where(idx == 0, top_edge, from_prev)
+    bot_halo = jnp.where(idx == n - 1, bot_edge, from_next)
     return jnp.concatenate([top_halo, x, bot_halo], axis=0)
 
 
@@ -50,11 +65,13 @@ def sharded_stencil(
     mesh: Mesh,
     halo: int,
     axis_name: str = "x",
+    edge: str = "zero",
 ):
     """Lift a (H, W)->(H, W) stencil with radius ≤ halo onto a row-sharded map.
 
     `fn` must treat its input as a standalone block (it sees halo rows); the
-    output's halo rows are dropped.
+    output's halo rows are dropped. ``edge`` picks the global-border fill
+    (see halo_exchange_rows).
     """
     try:
         from jax import shard_map
@@ -62,7 +79,7 @@ def sharded_stencil(
         from jax.experimental.shard_map import shard_map
 
     def block(xb: jax.Array) -> jax.Array:
-        padded = halo_exchange_rows(xb, halo, axis_name)
+        padded = halo_exchange_rows(xb, halo, axis_name, edge)
         out = fn(padded)
         return out[halo:-halo]
 
@@ -74,23 +91,20 @@ def sharded_stencil(
     )
 
 
-def _smooth_block(x: jax.Array, passes: int = 2, size: int = 3) -> jax.Array:
-    pad = size // 2
-    out = x
-    for _ in range(passes):
-        p = jnp.pad(out, pad, mode="symmetric")
-        acc = jnp.zeros_like(out)
-        for dy in range(size):
-            for dx in range(size):
-                acc = acc + p[dy : dy + out.shape[0], dx : dx + out.shape[1]]
-        out = acc / (size * size)
-    return out
-
-
 def sharded_uniform_smooth(mesh: Mesh, passes: int = 2, size: int = 3, axis_name: str = "x"):
-    """Row-sharded version of stencil.uniform_smooth with halo exchange."""
+    """Row-sharded stencil.uniform_smooth with halo exchange.
+
+    Symmetric edge halos keep the global border rows bit-identical to the
+    unsharded op: a mirror-symmetric padded block stays mirror-symmetric
+    under every reflect-padded smoothing pass, so the halo rows evolve
+    exactly like the unsharded reflection would."""
+    from ..ops import stencil
+
     halo = passes * (size // 2)
-    return sharded_stencil(lambda x: _smooth_block(x, passes, size), mesh, halo, axis_name)
+    return sharded_stencil(
+        lambda x: stencil.uniform_smooth(x, passes=passes, size=size),
+        mesh, halo, axis_name, edge="symmetric",
+    )
 
 
 def sharded_dilation(mesh: Mesh, size: int, axis_name: str = "x"):
@@ -103,4 +117,4 @@ def sharded_dilation(mesh: Mesh, size: int, axis_name: str = "x"):
                 out = jnp.maximum(out, p[dy : dy + x.shape[0], dx : dx + x.shape[1]])
         return out
 
-    return sharded_stencil(block, mesh, size, axis_name)
+    return sharded_stencil(block, mesh, size, axis_name, edge="neg_inf")

@@ -321,13 +321,16 @@ def extract_planes(
     raw_labels = connected_components(planar, params.connectivity)
 
     # compact to [1, max_labels]; pad with a +inf-like sentinel so the array
-    # stays sorted for searchsorted (fill_value=0 would break the order)
+    # stays sorted for searchsorted (fill_value=0 would break the order).
+    # Components beyond max_labels are dropped to background — never merged
+    # onto another label's plane fit.
     sentinel = jnp.iinfo(jnp.int32).max
     with_bg = jnp.concatenate([raw_labels.reshape(-1), jnp.zeros((1,), raw_labels.dtype)])
     uniq = jnp.unique(with_bg, size=params.max_labels + 1, fill_value=sentinel)
     compact = jnp.searchsorted(uniq, raw_labels).astype(jnp.int32)
-    compact = jnp.where(raw_labels > 0, compact, 0)
     compact = jnp.clip(compact, 0, params.max_labels)
+    found = uniq[compact] == raw_labels
+    compact = jnp.where((raw_labels > 0) & found, compact, 0)
 
     # per-label plane fit in world coordinates (:167-175)
     row = jnp.arange(H)[:, None] * jnp.ones((1, W))
@@ -408,12 +411,18 @@ def extract_planes(
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("inpaint_iters", "median_passes"))
-def preprocess(height: jax.Array, inpaint_iters: int = 4, median_passes: int = 1) -> jax.Array:
+def preprocess(height: jax.Array, inpaint_iters: int = 0, median_passes: int = 1) -> jax.Array:
     """min-values inpaint (grid_map_filters_rsl inpainting::minValues,
-    inpainting.cpp:25-94) then 3x3 median denoise."""
+    inpainting.cpp:25-94) then 3x3 median denoise.
+
+    inpaint_iters=0 (default) iterates to the fixed point in a bounded
+    while_loop (like the reference, which loops until no NaN remains), so
+    every hole connected to a finite cell is filled; only fully-isolated
+    NaN regions survive, and the NaN-substituting median cannot grow them.
+    """
     H, W = height.shape
-    h = height
-    for _ in range(inpaint_iters):
+
+    def inpaint_round(h):
         missing = ~jnp.isfinite(h)
         best = jnp.full_like(h, jnp.inf)
         for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
@@ -427,11 +436,43 @@ def preprocess(height: jax.Array, inpaint_iters: int = 4, median_passes: int = 1
             elif dx < 0:
                 nb = nb.at[:, dx:].set(jnp.nan)
             best = jnp.minimum(best, jnp.where(jnp.isfinite(nb), nb, jnp.inf))
-        h = jnp.where(missing & jnp.isfinite(best), best, h)
+        return jnp.where(missing & jnp.isfinite(best), best, h)
+
+    h = height
+    if inpaint_iters > 0:
+        for _ in range(inpaint_iters):
+            h = inpaint_round(h)
+    else:
+        def n_missing(v):
+            return jnp.sum(~jnp.isfinite(v))
+
+        def cond(carry):
+            h, prev, it = carry
+            cnt = n_missing(h)
+            # stop at the fixed point: all filled, or no progress
+            # (isolated all-NaN islands have no finite neighbor to copy)
+            return (it < H + W) & (cnt > 0) & (cnt != prev)
+
+        def body(carry):
+            h, prev, it = carry
+            return inpaint_round(h), n_missing(h), it + 1
+
+        h, _, _ = jax.lax.while_loop(cond, body, (h, jnp.int32(-1), 0))
 
     for _ in range(median_passes):
         pad = jnp.pad(h, 1, mode="edge")
-        v = [pad[dy : dy + H, dx : dx + W] for dy in range(3) for dx in range(3)]
+        center = pad[1 : 1 + H, 1 : 1 + W]
+        # NaN neighbors (only possible in isolated all-NaN islands) fall
+        # back to the center value so min/max exchanges stay NaN-free
+        v = [
+            jnp.where(
+                jnp.isfinite(pad[dy : dy + H, dx : dx + W]),
+                pad[dy : dy + H, dx : dx + W],
+                center,
+            )
+            for dy in range(3)
+            for dx in range(3)
+        ]
         h = jnp.where(jnp.isfinite(h), _median9(v), h)
     return h
 

@@ -165,14 +165,20 @@ class FrameRing:
         return True
 
     def pop(self):
-        """Returns (header bytes, payload uint8 ndarray) or None when empty."""
+        """Returns (header bytes, payload uint8 ndarray) or None when empty.
+
+        The returned payload is a copy sized to the frame; the slab-sized
+        staging buffer is reused across pops (no per-frame slab allocation)."""
         if self._ring is not None:
             hdr = ctypes.create_string_buffer(self.header_bytes)
-            out = np.empty(self.slab_bytes, np.uint8)
-            n = self._lib.ring_pop(self._ring, hdr, out.ctypes.data, self.slab_bytes)
+            if not hasattr(self, "_scratch"):
+                self._scratch = np.empty(self.slab_bytes, np.uint8)
+            n = self._lib.ring_pop(
+                self._ring, hdr, self._scratch.ctypes.data, self.slab_bytes
+            )
             if n < 0:
                 return None
-            return bytes(hdr.raw), out[:n].copy()
+            return bytes(hdr.raw), self._scratch[:n].copy()
         if not self._dq:
             return None
         h, p = self._dq.popleft()

@@ -171,7 +171,7 @@ class MappingService:
             self._last_time = now
 
         for pub in self.publishers:
-            if now - pub.last_publish >= 1.0 / pub.fps:
+            if pub.fps > 0 and now - pub.last_publish >= 1.0 / pub.fps:
                 out = {}
                 data = np.zeros(
                     (self.mapper.cell_n - 2, self.mapper.cell_n - 2), np.float32
@@ -200,7 +200,10 @@ class MappingService:
             if not self.mapper.exists_layer(layer):
                 continue
             self.mapper.get_map_with_name_ref(layer, full)
-            out[layer] = full[lo[0] : hi[0], lo[1] : hi[1]].copy()
+            # the export is double-flipped (internal row i -> exported row
+            # n-1-i, see get_map_pointcloud); convert the world-frame index
+            # window into exported coordinates before slicing
+            out[layer] = full[n - hi[0] : n - lo[0], n - hi[1] : n - lo[1]].copy()
         return out
 
     def clear_map(self) -> None:

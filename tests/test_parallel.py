@@ -88,9 +88,9 @@ def test_halo_smooth_matches_unsharded(rng):
     smooth = sharded_uniform_smooth(mesh, passes=2, size=3, axis_name="env")
     got = np.asarray(jax.jit(smooth)(jnp.asarray(x)))
     want = np.asarray(stencil.uniform_smooth(jnp.asarray(x), passes=2, size=3))
-    # interior must match exactly; block edges use the halo rows, so the only
-    # difference is the symmetric-pad boundary of each block vs the global pad
-    np.testing.assert_allclose(got[2:-2], want[2:-2], atol=1e-5)
+    # full equality including the global border rows: symmetric edge halos
+    # evolve exactly like the unsharded reflect padding
+    np.testing.assert_allclose(got, want, atol=1e-5)
 
 
 def test_spatial_sharding_matches_unsharded(rng):

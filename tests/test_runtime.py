@@ -236,3 +236,27 @@ def test_native_frame_ring(rng):
     if ring._ring is not None:
         with _pytest.raises(ValueError):
             ring.push(b"x", np.zeros(4097, np.uint8))
+
+
+def test_get_submap_asymmetric_region(rng):
+    """get_submap must return the terrain at the queried world position, not
+    its mirror image (the export is double-flipped)."""
+    from elevation_mapping_cupy_tpu.runtime.service import MappingService, SensorFrame
+
+    svc = MappingService(CFG.replace(enable_visibility_cleanup=False))
+    # a bump at world (+0.5, +0.5); flat floor elsewhere. Points are in the
+    # SENSOR frame (sensor at z=0.8): world z = pts_z + 0.8
+    n_pts = 900
+    pts = rng.uniform(-0.9, 0.9, (n_pts, 3)).astype(np.float32)
+    pts[:, 2] = -0.8
+    bump = (np.abs(pts[:, 0] - 0.5) < 0.15) & (np.abs(pts[:, 1] - 0.5) < 0.15)
+    pts[bump, 2] = -0.4
+    svc.enqueue(SensorFrame(kind="pointcloud", channels=("x", "y", "z"), data=pts,
+                            R=np.eye(3, dtype=np.float32),
+                            t=np.array([0, 0, 0.8], np.float32)))
+    svc.spin_once()
+
+    hi = svc.get_submap(np.array([0.5, 0.5]), (0.3, 0.3), ["elevation"])["elevation"]
+    lo = svc.get_submap(np.array([-0.5, -0.5]), (0.3, 0.3), ["elevation"])["elevation"]
+    assert np.nanmax(hi) > 0.3, "bump missing at its true world position"
+    assert np.nanmax(np.where(np.isfinite(lo), lo, 0)) < 0.2, "bump mirrored"
