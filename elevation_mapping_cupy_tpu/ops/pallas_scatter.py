@@ -218,4 +218,8 @@ def mxu_scatter_add_2d(
     Returns (K, h, w) float32.
     """
     assert len(exact) == values.shape[-1]
+    if rows.shape[0] == 0:
+        # a zero-point chunk would make a zero-step pallas grid (and the
+        # i==0 output init would never run); match the XLA path: all zeros
+        return jnp.zeros((values.shape[-1], h, w), jnp.float32)
     return _make_impl(h, w, tuple(exact), interpret)(rows, cols, values)

@@ -349,6 +349,12 @@ class DinoFeaturizer:
         self.channels = list(channels) if channels else [
             f"feat_{i}" for i in range(min(n_out, 16))
         ]
+        if len(self.channels) > n_out:
+            raise ValueError(
+                f"{len(self.channels)} channels requested but the head emits "
+                f"only {n_out} feature dims ({self.cfg.variant}, "
+                f"projection_type={self.cfg.projection_type!r})"
+            )
 
     def predict(self, image: np.ndarray) -> Dict[str, np.ndarray]:
         img = np.asarray(image, np.float32) / 255.0

@@ -101,9 +101,18 @@ class SemanticImageNode:
         arr = np.stack(stack) if stack else np.zeros((0,) + img.shape[1:], np.float32)
         out: Dict[str, object] = {"image": arr, "channels": names}
         if arr.shape[0]:
-            label = arr[: len(self.param.channels)].argmax(0) + 1 if len(
-                self.param.channels
-            ) else np.zeros(arr.shape[1:], np.int64)
+            # label colors index into param.channels by NAME: only sem_*
+            # rows participate (feat_* rows are unbounded features), and a
+            # missing channel must not shift its neighbors' colors
+            sem_rows = [i for i, nm in enumerate(names) if nm.startswith("sem_")]
+            if sem_rows:
+                winner = arr[sem_rows].argmax(0)
+                chan_idx = np.array(
+                    [self.param.channels.index(names[i][4:]) for i in sem_rows]
+                )
+                label = chan_idx[winner] + 1
+            else:
+                label = np.zeros(arr.shape[1:], np.int64)
             out["label_vis"] = self.color_map[label % len(self.color_map)].transpose(2, 0, 1)
         if K is not None:
             out["K"] = self.scale_intrinsics(K)

@@ -68,12 +68,13 @@ class _RandomFeatures:
     def predict(self, image: np.ndarray) -> Dict[str, np.ndarray]:
         img = image.astype(np.float32) / 255.0
         gray = img.mean(0)
-        out = {}
-        for k, name in enumerate(self.channels):
-            gx = np.gradient(gray, axis=1)
-            gy = np.gradient(gray, axis=0)
-            out[name] = np.tanh((k + 1) * gx + k * gy + gray - gray.mean())
-        return out
+        gx = np.gradient(gray, axis=1)
+        gy = np.gradient(gray, axis=0)
+        dc = gray - gray.mean()
+        return {
+            name: np.tanh((k + 1) * gx + k * gy + dc)
+            for k, name in enumerate(self.channels)
+        }
 
 
 def _dino(variant: str, patch: int):
@@ -107,11 +108,18 @@ MODELS: Dict[str, Callable[..., object]] = {
 def resolve_model(name: str, channels: Optional[Sequence[str]] = None, **kw):
     """Instantiate a registered model; falls back to random features if the
     torch stack is unavailable."""
+    import warnings
+
     ctor = MODELS.get(name)
     if ctor is None:
         raise ValueError(f"unknown model {name!r}; have {sorted(MODELS)}")
     try:
         return ctor(channels=channels, **kw) if channels else ctor(**kw)
-    except Exception as e:  # torch/torchvision/weights missing
-        print(f"[sensor.networks] {name} unavailable ({e}); using random_features")
+    except (ImportError, ModuleNotFoundError, OSError, RuntimeError) as e:
+        # environment problems (no torch stack, download/weight-load failure)
+        # degrade to the deterministic fallback; programming errors
+        # (TypeError from a typo'd kwarg, ValueError) propagate
+        warnings.warn(
+            f"[sensor.networks] {name} unavailable ({e!r}); using random_features"
+        )
         return _RandomFeatures(channels or ("feat_0",))

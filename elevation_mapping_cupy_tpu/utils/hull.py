@@ -20,10 +20,10 @@ def convex_hull(points: np.ndarray) -> Optional[np.ndarray]:
     the first point repeated last (shapely exterior.coords convention), or
     None when the hull degenerates to a point/segment (reference returns None
     for Point/LineString geometries)."""
+    # np.unique(axis=0) already returns rows in lexicographic order
     pts = np.unique(np.asarray(points, dtype=np.float64), axis=0)
     if len(pts) < 3:
         return None
-    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
 
     def cross(o, a, b):
         return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])

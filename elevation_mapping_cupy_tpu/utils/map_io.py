@@ -23,11 +23,16 @@ def save_layer_as_image(layer: np.ndarray, path: str,
     img = np.clip((arr - lo) / scale, 0, 1)
     img = np.where(np.isfinite(arr), img, 0.0)
     u8 = (img * 255).astype(np.uint8)
+    written = False
     try:
         import cv2 as cv
 
-        cv.imwrite(path, u8)
+        # imwrite signals failure (bad directory, unsupported ext) by
+        # returning False rather than raising
+        written = bool(cv.imwrite(path, u8))
     except Exception:
+        written = False
+    if not written:
         np.save(path + ".npy", u8)
     return lo, hi
 
@@ -35,12 +40,18 @@ def save_layer_as_image(layer: np.ndarray, path: str,
 def load_heightmap_from_image(path: str, height_scale: float = 1.0,
                               offset: float = 0.0) -> np.ndarray:
     """PNG → height map: uint8 [0,255] → [offset, offset+height_scale]."""
+    import os
+
+    img = None
     try:
         import cv2 as cv
 
-        img = cv.imread(path, cv.IMREAD_GRAYSCALE)
-        if img is None:
-            raise FileNotFoundError(path)
+        img = cv.imread(path, cv.IMREAD_GRAYSCALE)  # None on missing/corrupt
     except ImportError:
-        img = np.load(path + ".npy")
+        pass
+    if img is None:
+        if os.path.exists(path + ".npy"):
+            img = np.load(path + ".npy")
+        else:
+            raise FileNotFoundError(f"{path} (and no {path}.npy fallback)")
     return img.astype(np.float32) / 255.0 * height_scale + offset
