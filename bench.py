@@ -147,10 +147,55 @@ def bench_scaling() -> None:
     }))
 
 
+def bench_planeseg() -> None:
+    """Plane decomposition at reference scale (202x202 @ 0.04 m).
+
+    The reference's second headline benchmark is the per-stage timer table
+    its ROS node prints at shutdown (ConvexPlaneDecompositionRos.cpp:28-48).
+    vs_baseline compares against a 50 ms budget (a 20 Hz map stream — the
+    reference pipeline runs at map-publish rate on a robot CPU).
+    """
+    import jax
+    import numpy as np
+
+    from elevation_mapping_cupy_tpu.planeseg.pipeline import PlaneDecompositionPipeline
+
+    iters = int(os.environ.get("BENCH_ITERS", 10))
+    n = 202
+    rng = np.random.default_rng(0)
+    h = np.zeros((n, n), np.float32)
+    h[60:120, 40:160] = 0.3
+    h[140:190, 20:90] = 0.15
+    h += rng.normal(0, 0.002, (n, n)).astype(np.float32)
+    h[rng.random((n, n)) < 0.02] = np.nan   # sensor holes
+
+    pipe = PlaneDecompositionPipeline(resolution=0.04)
+    terr = pipe.update(h)                    # compile
+    pipe._stats = {}
+    for _ in range(iters):
+        terr = pipe.update(h)
+    total_ms = 1e3 * float(np.median(np.asarray(pipe._stats["total"])))
+    print(json.dumps({
+        "metric": "plane decomposition total (202x202)",
+        "value": round(total_ms, 2),
+        "unit": "ms",
+        "vs_baseline": round(50.0 / total_ms, 3),
+        "extra": {
+            "regions": len(terr.regions),
+            "stage_ms": {k: round(1e3 * float(np.median(np.asarray(v))), 2)
+                         for k, v in pipe._stats.items()},
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
 def main() -> None:
     mode = os.environ.get("BENCH_MODE", "points")
     if mode == "scaling":
         bench_scaling()
+        return
+    if mode == "planeseg":
+        bench_planeseg()
         return
 
     import jax

@@ -307,6 +307,20 @@ class PlaneExtraction(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("resolution", "params"))
+def preprocess_and_extract(
+    height: jax.Array,
+    resolution: float,
+    params: PlaneSegParams,
+    map_origin: jax.Array = None,
+):
+    """One fused dispatch: preprocess → extract_planes. On tunneled/remote
+    backends each host sync costs tens of ms, so the pipeline runs both
+    device stages in a single jit (PlaneDecompositionPipeline.update)."""
+    h = preprocess(height)
+    return h, extract_planes(h, resolution, params, map_origin)
+
+
+@functools.partial(jax.jit, static_argnames=("resolution", "params"))
 def extract_planes(
     height: jax.Array,        # (H, W), NaN = missing
     resolution: float,

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .contour import PlanarRegion, extract_boundaries, grow_convex_polygon
-from .extract import PlaneSegParams, extract_planes, preprocess
+from .extract import PlaneSegParams, preprocess_and_extract
 from .ransac import RansacParams, detect_planes
 
 __all__ = ["PlanarTerrain", "PlaneDecompositionPipeline"]
@@ -66,16 +66,18 @@ class PlaneDecompositionPipeline:
     def update(self, height: np.ndarray, map_origin=(0.0, 0.0)) -> PlanarTerrain:
         timings = {}
 
+        # preprocess + sliding-window extraction run as ONE jitted dispatch:
+        # per-stage host syncs cost tens of ms on tunneled backends, and the
+        # reference's separate timers map onto one device program here
         t0 = time.perf_counter()
-        h = preprocess(jnp.asarray(height, jnp.float32))
-        h.block_until_ready()
-        timings["preprocess"] = time.perf_counter() - t0
-        self._record("preprocess", timings["preprocess"])
-
-        t0 = time.perf_counter()
-        ext = extract_planes(h, self.resolution, self.params, jnp.asarray(map_origin, jnp.float32))
-        jax.block_until_ready(ext)
+        h, ext = preprocess_and_extract(
+            jnp.asarray(height, jnp.float32), self.resolution, self.params,
+            jnp.asarray(map_origin, jnp.float32),
+        )
+        jax.block_until_ready((h, ext))
+        timings["preprocess"] = 0.0
         timings["sliding_window"] = time.perf_counter() - t0
+        self._record("preprocess", timings["preprocess"])
         self._record("sliding_window", timings["sliding_window"])
 
         labels = np.array(ext.labels)
