@@ -81,9 +81,15 @@ class MapConfig:
     cleanup_cos_thresh: float = 0.5
     # raycast backend: "polar" = O(1)-scatter shadow-cube formulation (fast,
     # tolerance-level approximation at bucket boundaries); "exact" = per-step
-    # march matching the reference semantics bit-for-bit (slow on TPU).
-    raycast_mode: str = "polar"
-    raycast_azimuth_bins: int = 512
+    # march matching the reference semantics bit-for-bit (slow on TPU at
+    # scale); "auto" = exact when the march does less work than the cube
+    # (n_ray_steps*max_points < azimuth*radius*elevation bins — tiny datagen
+    # maps; 5.7x faster there), polar otherwise (150x faster at 1M points).
+    raycast_mode: str = "auto"
+    # 0 = auto: next power of two >= 4*cell_n, capped at 512 (= 512 at the
+    # reference's 202-cell scale; small datagen maps get a proportionally
+    # small shadow cube instead of a 512-wide one)
+    raycast_azimuth_bins: int = 0
     raycast_elevation_bins: int = 128
     # azimuth min-pyramid depth (memory knob for large env batches: each
     # level costs an (A, R, S) tensor per environment)
@@ -167,6 +173,14 @@ class MapConfig:
     def n_ray_steps(self) -> int:
         """Static number of raycast steps: s = step, 2*step, ... < max_ray_length."""
         return max(int(math.ceil(self.max_ray_length / self.ray_step)) - 1, 0)
+
+    @property
+    def azimuth_bins(self) -> int:
+        """Effective polar-raycast azimuth bin count (auto when the config
+        field is 0: next pow2 >= 4*cell_n, capped at 512)."""
+        if self.raycast_azimuth_bins > 0:
+            return self.raycast_azimuth_bins
+        return min(512, 1 << max(4 * self.cell_n - 1, 1).bit_length())
 
     @property
     def overlap_cell_range(self) -> Tuple[int, int]:

@@ -32,10 +32,16 @@ def visibility_cleanup(
     t: jax.Array,
     cfg: MapConfig,
 ) -> jax.Array:
-    """Dispatch on cfg.raycast_mode ("polar" fast / "exact" reference-parity)."""
+    """Dispatch on cfg.raycast_mode ("polar" fast / "exact" reference-parity /
+    "auto" = whichever formulation does less work for this config)."""
     if not cfg.enable_visibility_cleanup or cfg.n_ray_steps <= 0:
         return layers
-    if cfg.raycast_mode == "polar":
+    mode = cfg.raycast_mode
+    if mode == "auto":
+        cube = cfg.azimuth_bins * (cfg.n_ray_steps + 2) * cfg.raycast_elevation_bins
+        march = cfg.n_ray_steps * cfg.max_points
+        mode = "exact" if march < cube else "polar"
+    if mode == "polar":
         return visibility_cleanup_polar(layers, normal, assoc, inlier_cnt, t, cfg)
     return visibility_cleanup_exact(layers, normal, assoc, inlier_cnt, t, cfg)
 
@@ -180,7 +186,7 @@ def visibility_cleanup_polar(
     import math as _math
 
     n = cfg.cell_n
-    A = cfg.raycast_azimuth_bins
+    A = cfg.azimuth_bins
     S = cfg.raycast_elevation_bins
     R = cfg.n_ray_steps + 2
     step = cfg.ray_step
