@@ -15,7 +15,7 @@ import numpy as np
 
 
 
-__all__ = ["PointcloudParameter", "create_pcl_from_image"]
+__all__ = ["PointcloudParameter", "create_pcl_from_image", "PointcloudSensorNode"]
 
 
 @dataclasses.dataclass
@@ -69,3 +69,56 @@ def create_pcl_from_image(
         names.append(name)
     cloud = np.stack(cols, axis=1).astype(np.float32)
     return cloud, names
+
+
+class PointcloudSensorNode:
+    """Full sidecar node: depth(+rgb, +confidence) frame → semantic network →
+    structured (N, 3+C) cloud + channel names + debug visualizations.
+
+    The non-ROS re-expression of semantic_sensor/pointcloud_node.py:23-365:
+    the subscriber/publisher soup becomes one __call__ per synchronized
+    frame; the result feeds ElevationMap.input_pointcloud or a
+    runtime.service SensorFrame directly.
+    """
+
+    def __init__(self, param: PointcloudParameter = PointcloudParameter(),
+                 semantic_model: Optional[str] = None, **model_kw):
+        self.param = param
+        self.model = None
+        if semantic_model is not None:
+            from .networks import resolve_model
+
+            self.model = resolve_model(
+                semantic_model, channels=list(param.channels) or None, **model_kw
+            )
+
+    def channel_info(self) -> List[str]:
+        """ChannelInfo message equivalent: names after x,y,z(,rgb)."""
+        names = []
+        if self.param.channels:
+            names.extend(self.param.channels)
+        return names
+
+    def __call__(
+        self,
+        depth: np.ndarray,                       # (H, W) [m]
+        K: np.ndarray,                           # (3, 3)
+        rgb: Optional[np.ndarray] = None,        # (3, H, W) uint8
+        confidence: Optional[np.ndarray] = None,  # (H, W)
+        stride: int = 1,
+    ) -> Tuple[np.ndarray, List[str]]:
+        """Process one synchronized frame; returns (cloud, channel names)."""
+        sem: Dict[str, np.ndarray] = {}
+        if self.model is not None and rgb is not None:
+            pred = self.model.predict(rgb)
+            wanted = self.param.channels or tuple(pred.keys())
+            for name in wanted:
+                if name in pred:
+                    sem[name] = np.asarray(pred[name], np.float32)
+        depth = depth * self.param.depth_scale
+        return create_pcl_from_image(
+            depth, K, channels=sem, rgb=rgb,
+            confidence=confidence if self.param.confidence else None,
+            confidence_threshold=self.param.confidence_threshold,
+            stride=stride,
+        )

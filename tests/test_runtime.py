@@ -260,3 +260,38 @@ def test_get_submap_asymmetric_region(rng):
     lo = svc.get_submap(np.array([-0.5, -0.5]), (0.3, 0.3), ["elevation"])["elevation"]
     assert np.nanmax(hi) > 0.3, "bump missing at its true world position"
     assert np.nanmax(np.where(np.isfinite(lo), lo, 0)) < 0.2, "bump mirrored"
+
+
+def test_pointcloud_sensor_node(rng):
+    """Sidecar node: depth+rgb frame -> semantic cloud end-to-end into the
+    mapping service."""
+    from elevation_mapping_cupy_tpu.sensor.pointcloud import (
+        PointcloudParameter, PointcloudSensorNode,
+    )
+
+    H, W = 24, 32
+    node = PointcloudSensorNode(
+        PointcloudParameter(channels=("feat_0", "feat_1")),
+        semantic_model="random_features",
+    )
+    depth = rng.uniform(0.6, 1.3, (H, W)).astype(np.float32)
+    rgb = rng.integers(0, 255, (3, H, W)).astype(np.uint8)
+    K = np.array([[30, 0, 16], [0, 30, 12], [0, 0, 1]], np.float32)
+    cloud, names = node(depth, K, rgb=rgb)
+    assert names == ["x", "y", "z", "rgb", "feat_0", "feat_1"]
+    assert cloud.shape == (H * W, 6)
+
+    cfg = MapConfig(resolution=0.1, map_length=2.0, max_ray_length=0.5,
+                    max_points=1024,
+                    pointcloud_channel_fusions=(("rgb", "color"), ("default", "average")),
+                    semantic_layers=("rgb", "feat_0", "feat_1"))
+    svc = MappingService(cfg)
+    # camera optical frame looking straight down from 1 m
+    R_cam = np.array([[1, 0, 0], [0, -1, 0], [0, 0, -1]], np.float32)
+    ok = svc.enqueue(SensorFrame(kind="pointcloud", channels=tuple(names),
+                                 data=cloud, R=R_cam,
+                                 t=np.array([0, 0, 1.0], np.float32)))
+    assert ok and svc.spin_once() == 1
+    out = np.zeros((cfg.cell_n - 2, cfg.cell_n - 2), np.float32)
+    svc.mapper.get_map_with_name_ref("feat_0", out)
+    assert np.abs(out).sum() > 0
