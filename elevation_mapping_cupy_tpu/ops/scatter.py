@@ -36,12 +36,9 @@ USE_MXU_SCATTER: Optional[bool] = (
 )
 
 
-def _mxu_enabled() -> bool:
-    if USE_MXU_SCATTER is not None:
-        return USE_MXU_SCATTER
-    from .pallas_scatter import supported_backend
-
-    return supported_backend()
+def _mxu_forced() -> Optional[bool]:
+    """Explicit override (env/test); None means resolve per lowering platform."""
+    return USE_MXU_SCATTER
 
 
 def _masked(idx: jax.Array, values: jax.Array, mask: jax.Array, neutral) -> Tuple[jax.Array, jax.Array]:
@@ -86,8 +83,14 @@ def scatter_add_streams_2d(
     ~3-10x faster than XLA's serialized scatter at 1M points) and to the XLA
     scatter elsewhere. ``exact[k]`` marks streams whose values are bf16-exact
     (flags/counts) — informational for the MXU path's precision splitting.
+
+    In auto mode the branch is picked with ``lax.platform_dependent`` at
+    lowering time, so a program traced under a TPU default backend but
+    lowered for CPU devices (e.g. the multi-chip CPU dry run) still gets
+    the XLA path. ELEV_TPU_MXU_SCATTER=0/1 forces one branch.
     """
-    if _mxu_enabled():
+
+    def _pallas(flat_idx, mask, *values):
         from .pallas_scatter import mxu_scatter_add_2d
 
         safe_idx = jnp.where(mask, flat_idx, 0)
@@ -97,7 +100,19 @@ def scatter_add_streams_2d(
             [jnp.where(mask, v, 0.0).astype(jnp.float32) for v in values], axis=-1
         )
         return mxu_scatter_add_2d(rows, cols, vals, h, w, tuple(exact))
-    return scatter_add_multi(h * w, flat_idx, values, mask).reshape(-1, h, w)
+
+    def _xla(flat_idx, mask, *values):
+        vals32 = [v.astype(jnp.float32) for v in values]
+        return scatter_add_multi(h * w, flat_idx, vals32, mask).reshape(-1, h, w)
+
+    forced = _mxu_forced()
+    if forced is True:
+        return _pallas(flat_idx, mask, *values)
+    if forced is False:
+        return _xla(flat_idx, mask, *values)
+    return jax.lax.platform_dependent(
+        flat_idx, mask, *values, tpu=_pallas, default=_xla
+    )
 
 
 def scatter_min(n_cells: int, idx: jax.Array, values: jax.Array, mask: jax.Array, init: float) -> jax.Array:
