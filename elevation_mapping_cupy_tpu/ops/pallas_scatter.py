@@ -37,11 +37,39 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["mxu_scatter_add_2d", "supported_backend"]
 
-# Points per grid step (sublane dim of the one-hot operands). Large chunks
-# amortize per-grid-step overhead (256 → 3.4x slower at 1M pts); the Mosaic
-# compile cost this implies is hidden by the persistent compilation cache
-# (enabled package-wide on TPU backends, see __init__.py).
-_CHUNK = 1024
+# Max points per grid step (sublane dim of the one-hot operands). Large
+# chunks amortize per-grid-step overhead (256 → 3.4x slower at 1M pts;
+# 2048 is ~8% faster than 1024 when it fits); ≥3072 overflows VMEM at the
+# reference map scale. The actual chunk is chosen per call from _VMEM_BUDGET
+# (see _pick_chunk). The Mosaic compile cost this implies is hidden by the
+# persistent compilation cache (enabled package-wide on TPU backends, see
+# __init__.py).
+_MAX_CHUNK = 2048
+
+# Per-call VMEM budget (v5e has 16 MiB/core; leave headroom for Mosaic
+# temporaries and double-buffered input blocks — chunk 2048 at 8 parts
+# ≈ 12.9 MiB estimated compiles and runs, 3072 ≈ 18 MiB does not).
+_VMEM_BUDGET = 14 * 1024 * 1024
+
+# Cap on bf16 value parts per pallas call; wider stream sets are split into
+# groups (each group is its own full-MXU launch).
+_MAX_PARTS = 12
+
+
+def _n_parts(exact: Tuple[bool, ...]) -> int:
+    return sum(1 if e else 3 for e in exact)
+
+
+def _pick_chunk(hp: int, wp: int, k_streams: int, parts: int) -> int:
+    """Largest power-of-two chunk ≤ _MAX_CHUNK whose working set fits VMEM."""
+    fixed = 4 * hp * parts * wp + 4 * hp * k_streams * wp  # res + out (f32)
+    chunk = _MAX_CHUNK
+    while chunk > 256:
+        per_pt = 2 * (parts * wp + hp + wp) + 4 * (2 + k_streams)
+        if fixed + chunk * per_pt <= _VMEM_BUDGET:
+            break
+        chunk //= 2
+    return chunk
 
 
 def supported_backend() -> bool:
@@ -122,17 +150,50 @@ def _kernel(vals_ref, out_ref, *, k_streams, exact, hp, wp):
 
 def _call_pallas(rows, cols, values, h, w, exact, interpret):
     n, k_streams = values.shape
-    hp = _round_up(h, 128)
+    # Output lives as (hp, K*wp): hp is a sublane dim (8-divisible suffices —
+    # 208 instead of 256 at the reference's 204-cell scale is ~17% faster),
+    # wp a lane dim (must be 128-divisible).
+    hp = _round_up(h, 8)
     wp = _round_up(w, 128)
+
+    if _n_parts(exact) > _MAX_PARTS:
+        # split wide stream sets (e.g. many-layer semantic features) into
+        # VMEM-sized groups; each group is its own chip-filling launch
+        groups: list = []
+        cur: list = []
+        cur_parts = 0
+        for k, e in enumerate(exact):
+            p = 1 if e else 3
+            if cur and cur_parts + p > _MAX_PARTS:
+                groups.append(cur)
+                cur, cur_parts = [], 0
+            cur.append(k)
+            cur_parts += p
+        groups.append(cur)
+        outs = [
+            _call_pallas(
+                rows,
+                cols,
+                values[:, g],
+                h,
+                w,
+                tuple(exact[k] for k in g),
+                interpret,
+            )
+            for g in groups
+        ]
+        return jnp.concatenate(outs, axis=0)
+
+    chunk = _pick_chunk(hp, wp, k_streams, _n_parts(exact))
     packed = jnp.concatenate(
         [rows.astype(jnp.float32)[:, None], cols.astype(jnp.float32)[:, None], values],
         axis=1,
     )
-    n_pad = _round_up(n, _CHUNK)
+    n_pad = _round_up(n, chunk)
     if n_pad != n:
         packed = jnp.pad(packed, ((0, n_pad - n), (0, 0)))
-    g = n_pad // _CHUNK
-    packed = packed.reshape(g, _CHUNK, 2 + k_streams)
+    g = n_pad // chunk
+    packed = packed.reshape(g, chunk, 2 + k_streams)
 
     kernel = functools.partial(
         _kernel, k_streams=k_streams, exact=exact, hp=hp, wp=wp
@@ -142,7 +203,7 @@ def _call_pallas(rows, cols, values, h, w, exact, interpret):
         grid=(g,),
         in_specs=[
             pl.BlockSpec(
-                (1, _CHUNK, 2 + k_streams),
+                (1, chunk, 2 + k_streams),
                 lambda i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
