@@ -85,7 +85,12 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(vals_ref, out_ref, *, k_streams, exact, hp, wp):
-    """out_ref: (hp, K*wp) — stream k occupies lanes [k*wp, (k+1)*wp).
+    """out_ref: (1, hp, K*wp) — stream k occupies lanes [k*wp, (k+1)*wp).
+
+    Grid is (batch, chunks): the chunk axis is minor (iterates fastest), so
+    each env's output block is initialized at its first chunk and
+    accumulated across the rest; batched-envs scatters are ONE pallas
+    launch, not a lax.map of per-env launches.
 
     All value parts ride ONE dot_general per grid step: the per-part
     B-operands (ohc * part) are concatenated along the lane axis so the MXU
@@ -93,15 +98,15 @@ def _kernel(vals_ref, out_ref, *, k_streams, exact, hp, wp):
     per-part dots but one matmul for Mosaic to schedule (minutes less
     compile) and a wider N dim for the systolic array.
     """
-    i = pl.program_id(0)
+    i = pl.program_id(1)
 
     @pl.when(i == 0)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    p = vals_ref.shape[1]
-    rows = vals_ref[0, :, 0:1].astype(jnp.int32)  # (P, 1)
-    cols = vals_ref[0, :, 1:2].astype(jnp.int32)
+    p = vals_ref.shape[2]
+    rows = vals_ref[0, 0, :, 0:1].astype(jnp.int32)  # (P, 1)
+    cols = vals_ref[0, 0, :, 1:2].astype(jnp.int32)
     ohr = (rows == jax.lax.broadcasted_iota(jnp.int32, (p, hp), 1)).astype(
         jnp.bfloat16
     )
@@ -112,7 +117,7 @@ def _kernel(vals_ref, out_ref, *, k_streams, exact, hp, wp):
     bs = []
     owners = []  # output stream per part
     for k in range(k_streams):
-        v = vals_ref[0, :, 2 + k : 3 + k]  # (P, 1) f32
+        v = vals_ref[0, 0, :, 2 + k : 3 + k]  # (P, 1) f32
         if exact[k]:
             parts = (v.astype(jnp.bfloat16),)
         else:
@@ -145,11 +150,23 @@ def _kernel(vals_ref, out_ref, *, k_streams, exact, hp, wp):
         for j in mine[1:]:
             u = u + res[:, j * wp : (j + 1) * wp]
         updates.append(u)
-    out_ref[...] = out_ref[...] + jnp.concatenate(updates, axis=1)
+    out_ref[...] = out_ref[...] + jnp.concatenate(updates, axis=1)[None]
 
 
 def _call_pallas(rows, cols, values, h, w, exact, interpret):
-    n, k_streams = values.shape
+    """Single-map scatter: (N,) indices, (N, K) values → (K, h, w)."""
+    out = _call_pallas_batched(
+        rows[None], cols[None], values[None], h, w, exact, interpret
+    )
+    return out[0]
+
+
+def _call_pallas_batched(rows, cols, values, h, w, exact, interpret):
+    """Batched scatter: (B, N) indices, (B, N, K) values → (B, K, h, w).
+
+    One pallas launch with grid (B, chunks) — the batched-envs path does
+    not pay B separate kernel launches."""
+    b, n, k_streams = values.shape
     # Output lives as (hp, K*wp): hp is a sublane dim (8-divisible suffices —
     # 208 instead of 256 at the reference's 204-cell scale is ~17% faster),
     # wp a lane dim (must be 128-divisible).
@@ -171,10 +188,10 @@ def _call_pallas(rows, cols, values, h, w, exact, interpret):
             cur_parts += p
         groups.append(cur)
         outs = [
-            _call_pallas(
+            _call_pallas_batched(
                 rows,
                 cols,
-                values[:, g],
+                values[:, :, g],
                 h,
                 w,
                 tuple(exact[k] for k in g),
@@ -182,57 +199,60 @@ def _call_pallas(rows, cols, values, h, w, exact, interpret):
             )
             for g in groups
         ]
-        return jnp.concatenate(outs, axis=0)
+        return jnp.concatenate(outs, axis=1)
 
     chunk = _pick_chunk(hp, wp, k_streams, _n_parts(exact))
     packed = jnp.concatenate(
-        [rows.astype(jnp.float32)[:, None], cols.astype(jnp.float32)[:, None], values],
-        axis=1,
+        [
+            rows.astype(jnp.float32)[:, :, None],
+            cols.astype(jnp.float32)[:, :, None],
+            values,
+        ],
+        axis=2,
     )
     n_pad = _round_up(n, chunk)
     if n_pad != n:
-        packed = jnp.pad(packed, ((0, n_pad - n), (0, 0)))
+        packed = jnp.pad(packed, ((0, 0), (0, n_pad - n), (0, 0)))
     g = n_pad // chunk
-    packed = packed.reshape(g, chunk, 2 + k_streams)
+    packed = packed.reshape(b, g, chunk, 2 + k_streams)
 
     kernel = functools.partial(
         _kernel, k_streams=k_streams, exact=exact, hp=hp, wp=wp
     )
     out = pl.pallas_call(
         kernel,
-        grid=(g,),
+        grid=(b, g),
         in_specs=[
             pl.BlockSpec(
-                (1, chunk, 2 + k_streams),
-                lambda i: (i, 0, 0),
+                (1, 1, chunk, 2 + k_streams),
+                lambda bi, i: (bi, i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (hp, k_streams * wp), lambda i: (0, 0), memory_space=pltpu.VMEM
+            (1, hp, k_streams * wp), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((hp, k_streams * wp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, hp, k_streams * wp), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_pad * hp * wp * (3 * k_streams - 2 * sum(exact)),
-            bytes_accessed=n_pad * 4 * (2 + k_streams) + 4 * k_streams * hp * wp,
+            flops=2 * b * n_pad * hp * wp * (3 * k_streams - 2 * sum(exact)),
+            bytes_accessed=b * (n_pad * 4 * (2 + k_streams) + 4 * k_streams * hp * wp),
             transcendentals=0,
         ),
         interpret=interpret,
     )(packed)
-    # (hp, K*wp) -> (K, h, w)
-    out = out.reshape(hp, k_streams, wp).transpose(1, 0, 2)
-    return out[:, :h, :w]
+    # (B, hp, K*wp) -> (B, K, h, w)
+    out = out.reshape(b, hp, k_streams, wp).transpose(0, 2, 1, 3)
+    return out[:, :, :h, :w]
 
 
 @functools.lru_cache(maxsize=None)
 def _make_impl(h: int, w: int, exact: Tuple[bool, ...], interpret: bool):
     """Per-(h, w, exact) implementation with an explicit vmap rule.
 
-    The in-kernel accumulator init keys on ``pl.program_id(0)``; letting JAX
-    batch the pallas_call would prepend a grid axis and silently break it, so
-    vmap lowers to a sequential ``lax.map`` over the batch — each env's
-    scatter is its own full-MXU kernel launch, which is the right shape for
-    the batched-envs path anyway (the per-call work is already chip-filling).
+    The in-kernel accumulator init keys on the chunk ``program_id``; letting
+    JAX batch the pallas_call generically would prepend a grid axis and
+    silently break it. Instead vmap re-dispatches to the natively batched
+    launch (grid (B, chunks)) — all envs ride ONE kernel launch.
     """
 
     @jax.custom_batching.custom_vmap
@@ -246,12 +266,14 @@ def _make_impl(h: int, w: int, exact: Tuple[bool, ...], interpret: bool):
         def bcast(x, b):
             return x if b else jnp.broadcast_to(x, (axis_size,) + x.shape)
 
-        rows_b = bcast(rows, rb)
-        cols_b = bcast(cols, cb)
-        values_b = bcast(values, vb)
-        out = jax.lax.map(
-            lambda t: _call_pallas(t[0], t[1], t[2], h, w, exact, interpret),
-            (rows_b, cols_b, values_b),
+        out = _call_pallas_batched(
+            bcast(rows, rb),
+            bcast(cols, cb),
+            bcast(values, vb),
+            h,
+            w,
+            exact,
+            interpret,
         )
         return out, True
 
