@@ -61,3 +61,40 @@ def test_streams_2d_router_xla_fallback(rng):
     out = scatter.scatter_add_streams_2d(h, w, idx, [v1, v2], mask, (False, True))
     ref = scatter.scatter_add_multi(h * w, idx, [v1, v2], mask).reshape(2, h, w)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_wide_stream_group_splitting(rng):
+    """>12 bf16 parts (e.g. many-layer semantic features) must split into
+    multiple VMEM-sized launches and still match the dense reference."""
+    h, w, n, k = 16, 24, 800, 7  # 7 non-exact streams = 21 parts -> 2 groups
+    rows = rng.integers(0, h, n).astype(np.int32)
+    cols = rng.integers(0, w, n).astype(np.int32)
+    vals = rng.standard_normal((n, k)).astype(np.float32)
+    out = mxu_scatter_add_2d(
+        jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals),
+        h, w, (False,) * k, interpret=True,
+    )
+    ref = _ref(rows, cols, vals, h, w)
+    assert out.shape == (k, h, w)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
+
+
+def test_batched_launch_matches_reference(rng):
+    """The natively batched (grid (B, chunks)) launch: per-env accumulator
+    init must reset between envs and results must match per-env references."""
+    from elevation_mapping_cupy_tpu.ops.pallas_scatter import _call_pallas_batched
+
+    b, h, w, n, k = 4, 12, 18, 600, 3
+    rows = rng.integers(0, h, (b, n)).astype(np.int32)
+    cols = rng.integers(0, w, (b, n)).astype(np.int32)
+    vals = rng.standard_normal((b, n, k)).astype(np.float32)
+    vals[..., 1] = (vals[..., 1] > 0)  # the exact stream must be bf16-exact
+    out = _call_pallas_batched(
+        jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals),
+        h, w, (False, True, False), interpret=True,
+    )
+    assert out.shape == (b, k, h, w)
+    for i in range(b):
+        np.testing.assert_allclose(
+            np.asarray(out[i]), _ref(rows[i], cols[i], vals[i], h, w), atol=2e-4
+        )
