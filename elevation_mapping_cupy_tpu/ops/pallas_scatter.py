@@ -72,6 +72,21 @@ def _pick_chunk(hp: int, wp: int, k_streams: int, parts: int) -> int:
     return chunk
 
 
+def fits_vmem(h: int, w: int, exact: Tuple[bool, ...]) -> bool:
+    """Trace-time check: can this (h, w, streams) scatter run on the MXU
+    kernel at all? For very large maps the whole-map-in-VMEM formulation
+    stops fitting even at the minimum chunk (the intended path there is
+    spatial sharding, which brings per-shard h back into range); callers
+    route to the XLA scatter instead."""
+    hp = _round_up(h, 8)
+    wp = _round_up(w, 128)
+    parts = min(_n_parts(exact), _MAX_PARTS)
+    k = min(len(exact), _MAX_PARTS)  # wide sets split into ≤_MAX_PARTS groups
+    fixed = 4 * hp * parts * wp + 4 * hp * k * wp
+    per_pt = 2 * (parts * wp + hp + wp) + 4 * (2 + k)
+    return fixed + 256 * per_pt <= _VMEM_BUDGET
+
+
 def supported_backend() -> bool:
     """Pallas TPU lowering available? (trace-time decision)."""
     try:

@@ -110,6 +110,12 @@ def scatter_add_streams_2d(
         return _pallas(flat_idx, mask, *values)
     if forced is False:
         return _xla(flat_idx, mask, *values)
+    from .pallas_scatter import fits_vmem
+
+    if not fits_vmem(h, w, tuple(exact)):
+        # map too large for the whole-map-in-VMEM kernel even at the
+        # minimum chunk (use spatial sharding for maps this size)
+        return _xla(flat_idx, mask, *values)
     return jax.lax.platform_dependent(
         flat_idx, mask, *values, tpu=_pallas, default=_xla
     )
