@@ -77,6 +77,61 @@ class _RandomFeatures:
         }
 
 
+class _Detectron2Panoptic:
+    """COCO panoptic FPN (reference networks.py:66-243 DetectronModel).
+
+    Stuff channels come from the semantic head's softmax; thing channels are
+    instance masks scaled by detection score (networks.py:223-242). Requires
+    detectron2 — environments without it fall back via resolve_model.
+    """
+
+    def __init__(self, channels: Sequence[str], weights: str = "COCO-PanopticSegmentation/panoptic_fpn_R_101_3x.yaml"):
+        import torch  # noqa: F401  (detectron2 needs it)
+        from detectron2 import model_zoo
+        from detectron2.config import get_cfg
+        from detectron2.data import MetadataCatalog
+        from detectron2.engine import DefaultPredictor
+
+        cfg = get_cfg()
+        cfg.merge_from_file(model_zoo.get_config_file(weights))
+        cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST = 0.5
+        cfg.MODEL.WEIGHTS = model_zoo.get_checkpoint_url(weights)
+        cfg.MODEL.DEVICE = "cpu"
+        self.predictor = DefaultPredictor(cfg)
+        meta = MetadataCatalog.get(cfg.DATASETS.TRAIN[0])
+        stuff = {c: i for i, c in enumerate(meta.get("stuff_classes"))}
+        thing = {c: i for i, c in enumerate(meta.get("thing_classes"))}
+        # channel → (kind, class index); unknown channels are dropped, like
+        # the reference's segmentation_channels resolution (networks.py:192-200)
+        self.resolved = {}
+        for c in channels:
+            if c in stuff:
+                self.resolved[c] = ("stuff", stuff[c])
+            elif c in thing:
+                self.resolved[c] = ("thing", thing[c])
+        self.channels = list(self.resolved)
+
+    def predict(self, image: np.ndarray) -> Dict[str, np.ndarray]:
+        import torch
+
+        bgr = np.ascontiguousarray(image[::-1].transpose(1, 2, 0))  # reference flips RGB→BGR
+        pred = self.predictor(bgr)
+        sem = torch.softmax(pred["sem_seg"], dim=0).cpu().numpy()
+        seg_ids, instances = pred["panoptic_seg"]
+        seg_ids = seg_ids.cpu().numpy()
+        out: Dict[str, np.ndarray] = {}
+        for name, (kind, cid) in self.resolved.items():
+            if kind == "stuff":
+                out[name] = sem[cid]
+            else:
+                acc = np.zeros(seg_ids.shape, np.float32)
+                for inst in instances or []:
+                    if inst and inst.get("isthing") and inst.get("category_id") == cid:
+                        acc = np.maximum(acc, (seg_ids == inst["id"]) * float(inst.get("score", 1.0)))
+                out[name] = acc
+        return out
+
+
 def _dino(variant: str, patch: int):
     def ctor(channels=None, weight_file=None, **kw):
         from .dino import DinoFeaturizer, ViTConfig
@@ -101,6 +156,7 @@ MODELS: Dict[str, Callable[..., object]] = {
     "dino_vits16": _dino("vit_small", 16),
     "dino_vitb8": _dino("vit_base", 8),
     "dino_vitb16": _dino("vit_base", 16),
+    "detectron_coco_panoptic_fpn_R_101_3x": lambda channels=("person", "grass"), **kw: _Detectron2Panoptic(channels, **kw),
     "random_features": lambda channels=("feat_0",), **kw: _RandomFeatures(channels),
 }
 

@@ -132,3 +132,20 @@ def test_registry_resolves_dino():
 
     m = resolve_model("dino_vits16", channels=["a"])
     assert hasattr(m, "predict")
+
+
+def test_registry_detectron_gated_fallback():
+    """Without detectron2 installed the panoptic entry must degrade to the
+    deterministic fallback (same channels) instead of raising."""
+    import warnings
+
+    from elevation_mapping_cupy_tpu.sensor.networks import MODELS, resolve_model
+
+    assert "detectron_coco_panoptic_fpn_R_101_3x" in MODELS
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        m = resolve_model(
+            "detectron_coco_panoptic_fpn_R_101_3x", channels=["person", "grass"]
+        )
+    out = m.predict(np.zeros((3, 16, 16), np.uint8))
+    assert set(out) == {"person", "grass"}
