@@ -8,7 +8,7 @@ target of 1M points/s/chip (the reference repo publishes no numbers).
 Prints ONE JSON line:
   {"metric": "points/s/chip", "value": N, "unit": "points/s", "vs_baseline": N}
 
-Env knobs: BENCH_POINTS, BENCH_ITERS, BENCH_MODE=points|maps (maps = batched
+Env knobs: BENCH_POINTS, BENCH_ITERS, BENCH_MODE=points|maps|mem|planeseg|scaling (maps = batched
 multi-environment maps/s with procedural terrain + simulated sensors).
 """
 
@@ -147,6 +147,64 @@ def bench_scaling() -> None:
     }))
 
 
+def bench_mem() -> None:
+    """MEM multi-modal fusion (BASELINE config #3): geometric update + RGB
+    color fusion + two class_average semantic channels from one multi-modal
+    cloud, sharing a single association pass (the reference's p-buffer reuse,
+    custom_kernels.py:260-262)."""
+    import jax
+    import jax.numpy as jnp
+
+    from elevation_mapping_cupy_tpu import MapConfig, core, init_state
+    from elevation_mapping_cupy_tpu.nn.traversability import default_weights
+
+    n_points = int(os.environ.get("BENCH_POINTS", 1_000_000))
+    iters = int(os.environ.get("BENCH_ITERS", 20))
+    channels = ("rgb", "grass", "obstacle")
+    cfg = MapConfig(max_points=n_points, semantic_layers=channels)
+    state = init_state(cfg)
+    w = default_weights()
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-4, 4, (n_points, 3 + 3)).astype(np.float32)
+    pts[:, 2] = rng.uniform(-0.2, 0.5, n_points).astype(np.float32)
+    rgbs = rng.integers(0, 255, (n_points, 3)).astype(np.uint32)
+    pts[:, 3] = ((rgbs[:, 0] << 16) | (rgbs[:, 1] << 8) | rgbs[:, 2]).view(np.float32)
+    pts[:, 4:6] = rng.uniform(0, 1, (n_points, 2)).astype(np.float32)
+    points = jnp.asarray(pts)
+    mask = jnp.ones((n_points,), bool)
+    R = jnp.eye(3)
+    t = jnp.asarray([0.0, 0.0, 0.6], jnp.float32)
+    zero = jnp.float32(0.0)
+
+    def step(s):
+        return core.update_pointcloud_semantic(
+            s, points, mask, R, t, zero, zero, w, cfg, channels
+        )
+
+    state = step(state)
+    _ = float(jnp.sum(state.layers[2]) + jnp.sum(state.semantic))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state = step(state)
+    _ = float(jnp.sum(state.layers[2]) + jnp.sum(state.semantic))
+    pipelined = (time.perf_counter() - t0) / iters
+    pps = n_points / pipelined
+    print(json.dumps({
+        "metric": "multi-modal points/s/chip (MEM: rgb + 2 class channels)",
+        "value": round(pps),
+        "unit": "points/s",
+        "vs_baseline": round(pps / 1_000_000.0, 3),
+        "extra": {
+            "map": f"{cfg.cell_n}x{cfg.cell_n}@{cfg.resolution}m",
+            "points_per_cloud": n_points,
+            "channels": list(channels),
+            "pipelined_update_s": round(pipelined, 4),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
 def bench_planeseg() -> None:
     """Plane decomposition at reference scale (202x202 @ 0.04 m).
 
@@ -196,6 +254,9 @@ def main() -> None:
         return
     if mode == "planeseg":
         bench_planeseg()
+        return
+    if mode == "mem":
+        bench_mem()
         return
 
     import jax

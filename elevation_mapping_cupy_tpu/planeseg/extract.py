@@ -53,7 +53,9 @@ class PlaneSegParams:
     global_plane_fit_angle_error_threshold_degrees: float = 25.0
     max_labels: int = 64               # static bound on plane count
     cc_iterations: int = 0             # 0 → 2*(H+W) default
-    include_ransac_refinement: bool = False  # host-side option
+    # host-side stage; reference default true
+    # (SlidingWindowPlaneExtractorParameters.h:34)
+    include_ransac_refinement: bool = True
 
 
 def eigh3_smallest(A: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:

@@ -94,6 +94,7 @@ class PlaneDecompositionPipeline:
         labels = np.array(labels, dtype=np.int32)
         plane_normals = np.array(plane_normals)
         plane_support = np.array(plane_support)
+        plane_valid = np.array(plane_valid)  # device_get arrays are read-only
         timings["preprocess"] = 0.0
         timings["sliding_window"] = time.perf_counter() - t0
         self._record("preprocess", timings["preprocess"])
@@ -169,15 +170,27 @@ class PlaneDecompositionPipeline:
     ) -> Optional[np.ndarray]:
         """Grow a convex polygon inside the region containing/nearest the
         query (SegmentedPlaneProjection + ConvexRegionGrowing)."""
+        from .contour import _point_in_poly
+
         best = None
         best_d = np.inf
         for region in terrain.regions:
-            b = region.boundary_with_holes.boundary
-            d = float(np.min(np.linalg.norm(b - query_xy[None], axis=1)))
-            from .contour import _point_in_poly
-
-            if _point_in_poly(query_xy, b):
+            bwh = region.boundary_with_holes
+            # inside = within the outer ring and outside every hole; a query
+            # over a raised plane sits in the LOWER plane's hole, so the hole
+            # test is what picks the correct region among 2D-overlapping ones
+            # (SegmentedPlaneProjection.cpp:56-97)
+            inside = _point_in_poly(query_xy, bwh.boundary) and not any(
+                _point_in_poly(query_xy, hole) for hole in bwh.holes
+            )
+            if inside:
                 d = 0.0
+            else:
+                rings = [bwh.boundary] + list(bwh.holes)
+                d = min(
+                    float(np.min(np.linalg.norm(r - query_xy[None], axis=1)))
+                    for r in rings
+                )
             if d < best_d:
                 best_d = d
                 best = region

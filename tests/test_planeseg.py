@@ -127,6 +127,26 @@ def test_pipeline_ransac_path():
     assert len(terrain.regions) >= 2
 
 
+def test_convex_approximation_prefers_region_over_hole():
+    """A query above a raised platform sits inside the GROUND region's hole;
+    convex_approximation must pick the platform region (hole-aware selection,
+    SegmentedPlaneProjection.cpp:56-97) and grow a polygon there."""
+    n = 80
+    rng = np.random.default_rng(1)
+    h = rng.normal(0, 0.001, (n, n)).astype(np.float32)
+    h[24:56, 24:56] += 0.3
+    pipe = PlaneDecompositionPipeline(resolution=0.04)
+    terrain = pipe.update(h)
+    assert len(terrain.regions) == 2
+    # world frame: x = -row*res, y = -col*res; center of the box
+    q = np.array([-40 * 0.04, -40 * 0.04], np.float32)
+    poly = pipe.convex_approximation(terrain, q, n_vertices=12)
+    assert poly is not None
+    # grown polygon stays within the platform footprint (+1 cell slack)
+    lo, hi = -(56 + 1) * 0.04, -(24 - 1) * 0.04
+    assert (poly >= lo).all() and (poly <= hi).all()
+
+
 def test_project_to_planar_region():
     from elevation_mapping_cupy_tpu.planeseg.contour import (
         BoundaryWithHoles, PlanarRegion, project_to_planar_region,
