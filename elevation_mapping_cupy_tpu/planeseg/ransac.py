@@ -54,16 +54,25 @@ def detect_planes(
         cand = rng.integers(0, len(pts), size=params.max_iterations)
         n0 = nrm[cand] / np.maximum(nn[cand][:, None], 1e-9)     # (K, 3)
         off = np.einsum("kj,kj->k", pts[cand], n0)               # (K,)
-        if len(pts) > 4096:
-            sub = rng.permutation(len(pts))[:4096]
-            spts, snrm, snn = pts[sub], nrm[sub], nn[sub]
-        else:
-            spts, snrm, snn = pts, nrm, nn
-        dist = np.abs(spts @ n0.T - off[None, :])                # (n_sub, K)
-        ndot = np.abs(snrm @ n0.T) / np.maximum(snn[:, None], 1e-9)
-        inl = (dist < params.epsilon) & (ndot > cos_thresh)
-        inl[:, nn[cand] <= 1e-9] = False                         # degenerate seeds
-        best = int(np.argmax(inl.sum(axis=0)))
+
+        def rank(hyp: np.ndarray, n_sub: int) -> np.ndarray:
+            """Inlier count per hypothesis on a point subsample."""
+            if len(pts) > n_sub:
+                sub = rng.permutation(len(pts))[:n_sub]
+                spts, snrm, snn = pts[sub], nrm[sub], nn[sub]
+            else:
+                spts, snrm, snn = pts, nrm, nn
+            dist = np.abs(spts @ n0[hyp].T - off[hyp][None, :])
+            ndot = np.abs(snrm @ n0[hyp].T) / np.maximum(snn[:, None], 1e-9)
+            inl = (dist < params.epsilon) & (ndot > cos_thresh)
+            inl[:, nn[cand[hyp]] <= 1e-9] = False                # degenerate seeds
+            return inl.sum(axis=0)
+
+        # two-stage ranking: all K hypotheses on 512 points, top 16 on 8192
+        hyp = np.arange(len(cand))
+        coarse = rank(hyp, 512)
+        top = hyp[np.argsort(-coarse)[:16]]
+        best = int(top[np.argmax(rank(top, 8192))])
         # full inlier mask for the winning hypothesis only
         bd = np.abs(pts @ n0[best] - off[best])
         bn = np.abs(nrm @ n0[best]) / np.maximum(nn, 1e-9)
