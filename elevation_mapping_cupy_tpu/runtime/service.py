@@ -153,8 +153,11 @@ class MappingService:
                     frame.K, frame.D, frame.distortion_model,
                 )
             dt = time.perf_counter() - t0
-            self._proc_times.append(dt)
-            self._proc_times = self._proc_times[-50:]
+            if frame.kind == "pointcloud":
+                # the reference's fps statistic counts pointcloud callbacks
+                # only (pointCloudProcessCounter_, elevation_mapping_ros.cpp:316)
+                self._proc_times.append(dt)
+                self._proc_times = self._proc_times[-50:]
             self.stats.last_update_latency = dt
             self.stats.frames_processed += 1
             processed += 1
@@ -212,16 +215,28 @@ class MappingService:
     def initialize(self, points: np.ndarray, method: str = "cubic") -> None:
         self.mapper.initialize_map(points, method)
 
-    def clear_map_with_initializer(self, method: str = "cubic") -> None:
+    def clear_map_with_initializer(
+        self, method: str = "cubic", tf_grid_size: float = 0.5
+    ) -> None:
         """clear_map_with_initializer service (elevation_mapping_ros.cpp:564-569):
         clear, then re-initialize from the configured point provider (the
         reference reads TF frames, e.g. foot positions — here any callable
-        set via ``initialize_points_provider``)."""
+        set via ``initialize_points_provider``). Fewer than 3 points are
+        expanded to a tf_grid_size square around the last one
+        (initializeWithTF, elevation_mapping_ros.cpp:593-598)."""
         self.mapper.clear()
-        if self.initialize_points_provider is not None:
-            pts = np.asarray(self.initialize_points_provider(), np.float64)
-            if len(pts) > 3:  # mapper requires >3 points (reference assert)
-                self.mapper.initialize_map(pts)
+        if self.initialize_points_provider is None:
+            return
+        pts = np.asarray(self.initialize_points_provider(), np.float64).reshape(-1, 3)
+        if len(pts) == 0:
+            return
+        if len(pts) < 3:
+            g = tf_grid_size
+            p = pts[-1]
+            pts = np.vstack(
+                [pts, p + np.array([[g, g, 0], [-g, g, 0], [g, -g, 0], [-g, -g, 0]])]
+            )
+        self.mapper.initialize_map(pts, method)
 
     def set_publish_points(self, enable: bool) -> bool:
         """set_publish_points service (elevation_mapping_ros.cpp:660-664)."""

@@ -209,6 +209,13 @@ def test_service_aux_services(rng):
     inner = elev[10:-10, 10:-10]
     assert np.isfinite(inner).sum() > 0  # initializer repopulated the map
 
+    # <3 provider points expand to a tf_grid_size square
+    # (initializeWithTF, elevation_mapping_ros.cpp:593-598)
+    svc.initialize_points_provider = lambda: np.array([[0, 0, 0.3]], np.float64)
+    svc.clear_map_with_initializer(tf_grid_size=0.8)
+    svc.mapper.get_map_with_name_ref("elevation", elev)
+    assert np.isfinite(elev[10:-10, 10:-10]).sum() > 0
+
 
 def test_native_frame_ring(rng):
     """Native slab ring buffer: bounded memory, drop policies, stats."""
