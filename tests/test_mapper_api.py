@@ -129,3 +129,35 @@ def test_clear(rng):
     em.clear()
     assert np.asarray(em.state.layers[2]).sum() == 0
     assert np.allclose(np.asarray(em.state.layers[1]), em.cfg.initial_variance)
+
+
+def test_shipped_configs_load_and_run(rng):
+    """Every YAML shipped under configs/ loads and drives a map end-to-end
+    (guards the example configs against drift from the loader/schema)."""
+    from elevation_mapping_cupy_tpu import load_config
+    from elevation_mapping_cupy_tpu.plugins import PluginManager
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    cfg = load_config(os.path.join(root, "core_param.yaml"),
+                      resolution=0.1, map_length=4.0, max_ray_length=1.0)
+    assert cfg.cell_n == 42
+    mem = load_config(os.path.join(root, "semantic_mem.yaml"),
+                      resolution=0.1, map_length=4.0, max_ray_length=1.0)
+    assert "rgb" in mem.semantic_layers
+    assert mem.fusion_for_channel("rgb") == "color"
+    assert mem.fusion_for_channel("grass") == "class_average"
+
+    em = ElevationMap(mem)
+    pm = PluginManager(cell_n=em.cell_n)
+    pm.load_plugin_settings(os.path.join(root, "plugin_config.yaml"))
+    assert pm.layer_names
+
+    pts = rng.uniform(-1.5, 1.5, (2000, 4)).astype(np.float32)
+    pts[:, 2] = 0.05
+    rgbs = rng.integers(0, 255, (2000, 3)).astype(np.uint32)
+    pts[:, 3] = ((rgbs[:, 0] << 16) | (rgbs[:, 1] << 8) | rgbs[:, 2]).view(np.float32)
+    em.input_pointcloud(pts, ["x", "y", "z", "rgb"], np.eye(3, dtype=np.float32),
+                        np.array([0, 0, 0.5], np.float32), 0.0, 0.0)
+    out = np.zeros((em.cell_n - 2, em.cell_n - 2), np.float32)
+    em.get_map_with_name_ref("rgb", out)
+    assert np.isfinite(out).any()
