@@ -161,3 +161,31 @@ def test_shipped_configs_load_and_run(rng):
     out = np.zeros((em.cell_n - 2, em.cell_n - 2), np.float32)
     em.get_map_with_name_ref("rgb", out)
     assert np.isfinite(out).any()
+
+
+def test_degenerate_inputs():
+    """Empty clouds, all-NaN clouds, single points and unfusable image
+    channels must not crash and must behave sensibly (the reference relies
+    on CUDA launches with size=0 silently doing nothing)."""
+    em = ElevationMap(small_cfg())
+    R = np.eye(3, dtype=np.float32)
+    t = np.array([0, 0, 0.5], np.float32)
+    em.input_pointcloud(np.zeros((0, 3), np.float32), ["x", "y", "z"], R, t, 0.0, 0.0)
+    em.input_pointcloud(np.full((64, 3), np.nan, np.float32), ["x", "y", "z"], R, t, 0.0, 0.0)
+    out = np.zeros((em.cell_n - 2,) * 2, np.float32)
+    em.get_map_with_name_ref("elevation", out)
+    assert np.isfinite(out).sum() == 0
+
+    # a single point beyond min_valid_distance lands in exactly one cell
+    em.input_pointcloud(
+        np.array([[1.0, 1.0, -0.4]], np.float32), ["x", "y", "z"], R, t, 0.0, 0.0
+    )
+    em.get_map_with_name_ref("elevation", out)
+    assert np.isfinite(out).sum() == 1
+    assert abs(np.nanmax(out) - 0.1) < 0.05
+
+    # image whose only channel resolves to no fusion: a clean no-op
+    em.input_image(
+        np.zeros((1, 8, 8), np.float32), ["no_such_channel"], R, t,
+        np.eye(3, dtype=np.float32), np.zeros(5, np.float32),
+    )
