@@ -170,32 +170,15 @@ class PlaneDecompositionPipeline:
     ) -> Optional[np.ndarray]:
         """Grow a convex polygon inside the region containing/nearest the
         query (SegmentedPlaneProjection + ConvexRegionGrowing)."""
-        from .contour import _point_in_poly
+        from .contour import project_to_planar_region
 
-        best = None
-        best_d = np.inf
-        for region in terrain.regions:
-            bwh = region.boundary_with_holes
-            # inside = within the outer ring and outside every hole; a query
-            # over a raised plane sits in the LOWER plane's hole, so the hole
-            # test is what picks the correct region among 2D-overlapping ones
-            # (SegmentedPlaneProjection.cpp:56-97)
-            inside = _point_in_poly(query_xy, bwh.boundary) and not any(
-                _point_in_poly(query_xy, hole) for hole in bwh.holes
-            )
-            if inside:
-                d = 0.0
-            else:
-                rings = [bwh.boundary] + list(bwh.holes)
-                d = min(
-                    float(np.min(np.linalg.norm(r - query_xy[None], axis=1)))
-                    for r in rings
-                )
-            if d < best_d:
-                best_d = d
-                best = region
-        if best is None:
+        # hole-aware containing/nearest selection (a query over a raised
+        # plane sits in the LOWER plane's hole — SegmentedPlaneProjection
+        # .cpp:56-97); single source of truth with the projection helper
+        hit = project_to_planar_region(np.asarray(query_xy, np.float64), terrain.regions)
+        if hit is None:
             return None
+        best, _ = hit
         return grow_convex_polygon(
             best.boundary_with_holes.boundary,
             best.boundary_with_holes.holes,

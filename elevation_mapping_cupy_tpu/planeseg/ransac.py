@@ -49,7 +49,11 @@ def detect_planes(
         # (ranking planes needs only a sample of the support), then test the
         # single winner against every point. The original K-iteration loop
         # over all N points cost ~200 ms per refined label at 20k member
-        # cells; this is ~2 ms with identical greedy semantics.
+        # cells; this is ~2 ms. Same greedy structure; the ranking is
+        # sample-based, so if the sample-ranked winner fails min_points a
+        # full-point re-rank runs before giving up (see below).
+        if params.max_iterations <= 0:
+            break
         nn = np.linalg.norm(nrm, axis=1)
         cand = rng.integers(0, len(pts), size=params.max_iterations)
         n0 = nrm[cand] / np.maximum(nn[cand][:, None], 1e-9)     # (K, 3)
@@ -73,12 +77,23 @@ def detect_planes(
         coarse = rank(hyp, 512)
         top = hyp[np.argsort(-coarse)[:16]]
         best = int(top[np.argmax(rank(top, 8192))])
-        # full inlier mask for the winning hypothesis only
-        bd = np.abs(pts @ n0[best] - off[best])
-        bn = np.abs(nrm @ n0[best]) / np.maximum(nn, 1e-9)
-        best_inliers = (bd < params.epsilon) & (bn > cos_thresh)
-        if nn[cand[best]] <= 1e-9 or best_inliers.sum() < max(params.min_points, 3):
-            break
+
+        def full_inliers(b: int) -> np.ndarray:
+            bd = np.abs(pts @ n0[b] - off[b])
+            bn = np.abs(nrm @ n0[b]) / np.maximum(nn, 1e-9)
+            ok = (bd < params.epsilon) & (bn > cos_thresh)
+            return ok if nn[cand[b]] > 1e-9 else np.zeros_like(ok)
+
+        best_inliers = full_inliers(best)
+        if best_inliers.sum() < max(params.min_points, 3):
+            # the sample-ranked winner can miss a small-support plane the
+            # old full-point evaluation would have found: re-rank every
+            # hypothesis on the full point set once before terminating
+            # (one vectorized pass; runs only on the would-be last round)
+            best = int(np.argmax(rank(hyp, len(pts))))
+            best_inliers = full_inliers(best)
+            if best_inliers.sum() < max(params.min_points, 3):
+                break
         member = remaining[best_inliers]
         mp = points[member]
         mean = mp.mean(axis=0)

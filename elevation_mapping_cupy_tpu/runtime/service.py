@@ -236,7 +236,14 @@ class MappingService:
             pts = np.vstack(
                 [pts, p + np.array([[g, g, 0], [-g, g, 0], [g, -g, 0], [-g, -g, 0]])]
             )
-        self.mapper.initialize_map(pts, method)
+        try:
+            self.mapper.initialize_map(pts, method)
+        except AssertionError:
+            # exactly 3 provider points on a just-cleared map: griddata needs
+            # >3 support points (the reference asserts and crashes the
+            # embedded call here, map_initializer.py:43 — we drop the frame
+            # like its tf-error handling does elsewhere)
+            self.stats.frames_dropped += 1
 
     def set_publish_points(self, enable: bool) -> bool:
         """set_publish_points service (elevation_mapping_ros.cpp:660-664)."""

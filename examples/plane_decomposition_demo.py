@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from elevation_mapping_cupy_tpu.planeseg.pipeline import PlaneDecompositionPipeline
 
 
-def make_terrain(n: int = 160, resolution: float = 0.04) -> np.ndarray:
+def make_terrain(n: int = 160) -> np.ndarray:
     """Stepped terrain with a ramp and sensor holes."""
     rng = np.random.default_rng(3)
     h = np.zeros((n, n), np.float32)
@@ -35,7 +35,7 @@ def make_terrain(n: int = 160, resolution: float = 0.04) -> np.ndarray:
 
 def main() -> None:
     resolution = 0.04
-    h = make_terrain(resolution=resolution)
+    h = make_terrain()
     pipe = PlaneDecompositionPipeline(resolution=resolution)
     terrain = pipe.update(h)
     print(f"regions: {len(terrain.regions)}")

@@ -134,13 +134,17 @@ def test_registry_resolves_dino():
     assert hasattr(m, "predict")
 
 
-def test_registry_detectron_gated_fallback():
+def test_registry_detectron_gated_fallback(monkeypatch):
     """Without detectron2 installed the panoptic entry must degrade to the
-    deterministic fallback (same channels) instead of raising."""
+    deterministic fallback (same channels) instead of raising. The absence
+    is pinned by masking the package so the test never downloads model-zoo
+    weights on machines that do have detectron2."""
+    import sys
     import warnings
 
     from elevation_mapping_cupy_tpu.sensor.networks import MODELS, resolve_model
 
+    monkeypatch.setitem(sys.modules, "detectron2", None)  # force ImportError
     assert "detectron_coco_panoptic_fpn_R_101_3x" in MODELS
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
