@@ -214,6 +214,12 @@ class ElevationMap:
     ) -> None:
         """channels: names of all columns; the first three must be x, y, z."""
         raw_points = np.asarray(raw_points, np.float32)
+        if len(channels) != raw_points.shape[1]:
+            # a mismatch would silently misread columns (OOB gathers clamp)
+            raise ValueError(
+                f"channels names every column: got {len(channels)} names "
+                f"for {raw_points.shape[1]} columns"
+            )
         raw_points = raw_points[~np.isnan(raw_points[:, :3]).any(axis=1)]
         additional = tuple(channels[3:])
         kept = tuple(
