@@ -152,6 +152,9 @@ class MappingService:
                     frame.data, list(frame.channels), frame.R, frame.t,
                     frame.K, frame.D, frame.distortion_model,
                 )
+            else:
+                self.stats.frames_dropped += 1
+                continue
             dt = time.perf_counter() - t0
             if frame.kind == "pointcloud":
                 # the reference's fps statistic counts pointcloud callbacks
