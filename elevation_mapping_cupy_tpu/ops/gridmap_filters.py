@@ -33,6 +33,7 @@ __all__ = [
     "dilate",
     "erode",
     "outline",
+    "shifted_window_stack",
     "apply_kernel_function",
     "values_between_locations",
     "max_value_between_locations",
@@ -55,17 +56,48 @@ def _shift_nan(x: jax.Array, dy: int, dx: int) -> jax.Array:
     return out
 
 
-def inpaint_min_values(h: jax.Array, iterations: int = 32) -> jax.Array:
-    """Iterative min-of-neighbors flood fill (inpainting.cpp:25-94)."""
-    def body(_, hh):
-        missing = ~jnp.isfinite(hh)
-        best = jnp.full_like(hh, jnp.inf)
-        for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
-            nb = _shift_nan(hh, dy, dx)
-            best = jnp.minimum(best, jnp.where(jnp.isfinite(nb), nb, jnp.inf))
-        return jnp.where(missing & jnp.isfinite(best), best, hh)
+def inpaint_min_values(h: jax.Array, iterations: int = 0) -> jax.Array:
+    """Min-of-neighbors flood fill to the reference's fixed point
+    (inpainting.cpp:25-94): the C++ loops until no cell changes, and a
+    filled cell keeps taking lower minima as they arrive from farther
+    away, so every NaN-connected region converges to the MINIMUM finite
+    value along its whole contour. iterations=0 (default) iterates to
+    that fixed point in a bounded while_loop; iterations>0 caps the
+    propagation rounds. All-NaN maps stay NaN."""
+    missing = ~jnp.isfinite(h)
+    work = jnp.where(missing, jnp.inf, h)
 
-    return jax.lax.fori_loop(0, iterations, body, h)
+    def round_fn(w):
+        best = w
+        for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+            nb = jnp.roll(w, (dy, dx), axis=(0, 1))
+            # out-of-map neighbors contribute +inf (no wraparound)
+            if dy > 0:
+                nb = nb.at[:dy].set(jnp.inf)
+            elif dy < 0:
+                nb = nb.at[dy:].set(jnp.inf)
+            if dx > 0:
+                nb = nb.at[:, :dx].set(jnp.inf)
+            elif dx < 0:
+                nb = nb.at[:, dx:].set(jnp.inf)
+            best = jnp.minimum(best, nb)
+        return jnp.where(missing, best, w)
+
+    if iterations > 0:
+        work = jax.lax.fori_loop(0, iterations, lambda _, w: round_fn(w), work)
+    else:
+        max_iters = h.shape[0] * h.shape[1]
+
+        def cond(c):
+            w, prev, it = c
+            return (it < max_iters) & jnp.any(w != prev)
+
+        def body(c):
+            w, _, it = c
+            return round_fn(w), w, it + 1
+
+        work, _, _ = jax.lax.while_loop(cond, body, (round_fn(work), work, 0))
+    return jnp.where(jnp.isinf(work), jnp.nan, work)
 
 
 def inpaint_bilinear(h: jax.Array, iterations: int = 32) -> jax.Array:
@@ -88,8 +120,9 @@ def inpaint_bilinear(h: jax.Array, iterations: int = 32) -> jax.Array:
 
 
 def resample(h: jax.Array, out_shape: Tuple[int, int]) -> jax.Array:
-    """Bilinear resample (inpainting.cpp:244-289 / cv::resize INTER_LINEAR)."""
-    return jax.image.resize(h, out_shape, method="linear")
+    """Bilinear resample (inpainting.cpp:244-289 / cv::resize INTER_LINEAR:
+    half-pixel centers, no antialiasing on downscale)."""
+    return jax.image.resize(h, out_shape, method="linear", antialias=False)
 
 
 def median_filter(h: jax.Array, size: int = 3) -> jax.Array:
@@ -147,25 +180,44 @@ def gaussian_blur(h: jax.Array, size: int = 5, sigma: float = 1.0) -> jax.Array:
     return pass_1d(pass_1d(h, 1), 0)
 
 
-def _morph(h: jax.Array, size: int, op) -> jax.Array:
-    pad = size // 2
+def shifted_window_stack(h: jax.Array, size: int) -> jax.Array:
+    """(k*k, H, W) neighborhood stack with the grid_map_filters_rsl border
+    rule: the kxk window is CLAMPED to lie fully inside the map, i.e. near
+    borders it SHIFTS instead of truncating/replicating
+    (processing.cpp:36-50 — cornerId = clamp(id - half, 0, N - k)).
+    Entry (i*k+j) holds h[corner_r(r)+i, corner_c(c)+j]."""
     H, W = h.shape
-    fill = -jnp.inf if op is jnp.maximum else jnp.inf
-    p = jnp.pad(h, pad, mode="constant", constant_values=fill)
-    out = jnp.full_like(h, fill)
+    half = (size - 1) // 2
+    cr = jnp.clip(jnp.arange(H) - half, 0, H - size)
+    cc = jnp.clip(jnp.arange(W) - half, 0, W - size)
+    planes = []
     for dy in range(size):
+        hr = h[cr + dy, :]
         for dx in range(size):
-            out = op(out, p[dy : dy + H, dx : dx + W])
+            planes.append(hr[:, cc + dx])
+    return jnp.stack(planes)
+
+
+def dilate(h: jax.Array, size: int = 3, inpaint: bool = False) -> jax.Array:
+    """Max-of-finites dilation with the shifted-window border rule
+    (processing.cpp:15-60): all-NaN windows fall back to the centre
+    value; NaN centres stay NaN unless inpaint=True."""
+    stack = shifted_window_stack(h, size)
+    mx = jnp.max(jnp.where(jnp.isfinite(stack), stack, -jnp.inf), axis=0)
+    out = jnp.where(jnp.isfinite(mx), mx, h)
+    if not inpaint:
+        out = jnp.where(jnp.isfinite(h), out, jnp.nan)
     return out
 
 
-def dilate(h: jax.Array, size: int = 3) -> jax.Array:
-    """NaN-aware max dilation (processing.cpp:15-60)."""
-    return _morph(jnp.where(jnp.isfinite(h), h, -jnp.inf), size, jnp.maximum)
-
-
-def erode(h: jax.Array, size: int = 3) -> jax.Array:
-    return _morph(jnp.where(jnp.isfinite(h), h, jnp.inf), size, jnp.minimum)
+def erode(h: jax.Array, size: int = 3, inpaint: bool = False) -> jax.Array:
+    """Min-of-finites erosion, shifted-window border rule (processing.cpp:62-107)."""
+    stack = shifted_window_stack(h, size)
+    mn = jnp.min(jnp.where(jnp.isfinite(stack), stack, jnp.inf), axis=0)
+    out = jnp.where(jnp.isfinite(mn), mn, h)
+    if not inpaint:
+        out = jnp.where(jnp.isfinite(h), out, jnp.nan)
+    return out
 
 
 def outline(mask: jax.Array) -> jax.Array:
@@ -188,15 +240,11 @@ def outline(mask: jax.Array) -> jax.Array:
 
 def apply_kernel_function(h: jax.Array, size: int, fn) -> jax.Array:
     """Generic kxk neighborhood reduce: fn(stack (k*k, H, W)) -> (H, W)
-    (processing.cpp applyKernelFunction; used for the 45-degree cone
-    dilation in Postprocessing.cpp:73-144)."""
-    pad = size // 2
-    H, W = h.shape
-    p = jnp.pad(h, pad, mode="edge")
-    stack = jnp.stack(
-        [p[dy : dy + H, dx : dx + W] for dy in range(size) for dx in range(size)]
-    )
-    return fn(stack)
+    (processing.cpp:145-180 applyKernelFunction; used for the 45-degree
+    cone dilation in Postprocessing.cpp:73-144). Stack entry (i*k+j)
+    corresponds to block element (i, j), with the reference's
+    shifted-window border rule (window clamped fully inside the map)."""
+    return fn(shifted_window_stack(h, size))
 
 
 def values_between_locations(

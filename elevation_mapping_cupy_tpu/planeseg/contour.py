@@ -260,27 +260,45 @@ def _distance_to_ring(p: np.ndarray, ring: np.ndarray) -> float:
     )
 
 
+def _closest_point_on_ring(p: np.ndarray, ring: np.ndarray) -> Tuple[float, np.ndarray]:
+    """Distance to the ring and the closest point ON the ring edges."""
+    best_d, best_p = np.inf, ring[0]
+    for i in range(len(ring)):
+        a, b = ring[i], ring[(i + 1) % len(ring)]
+        ab = b - a
+        t = float(np.clip(np.dot(p - a, ab) / max(np.dot(ab, ab), 1e-30), 0.0, 1.0))
+        q = a + t * ab
+        d = float(np.linalg.norm(p - q))
+        if d < best_d:
+            best_d, best_p = d, q
+    return best_d, np.asarray(best_p, np.float64)
+
+
 def project_to_planar_region(
     query_xy: np.ndarray, regions: Sequence["PlanarRegion"]
 ) -> Optional[Tuple["PlanarRegion", np.ndarray]]:
     """Find the best planar region for a query point and project onto its
-    plane (getBestPlanarRegionAtPositionInWorld + projectToPlanarRegion):
-    a region containing the query wins at distance 0; otherwise the nearest
-    boundary point is used. Returns (region, projected 3D point)."""
+    plane (getBestPlanarRegionAtPositionInWorld + projectToPlanarRegion,
+    SegmentedPlaneProjection.cpp:56-97): a region containing the query wins
+    at distance 0; otherwise the query projects to the closest point on the
+    region's edges — the HOLE's edges when the query sits inside a hole
+    (:79-85), the outer ring's otherwise. Returns (region, projected 3D point)."""
     best = None
     best_d = np.inf
     best_xy = None
     for region in regions:
         ring = region.boundary_with_holes.boundary
-        if _point_in_poly(query_xy, ring) and not any(
-            _point_in_poly(query_xy, h) for h in region.boundary_with_holes.holes
-        ):
-            d, pxy = 0.0, query_xy
+        holes = region.boundary_with_holes.holes
+        if _point_in_poly(query_xy, ring):
+            inside_hole = next(
+                (h for h in holes if _point_in_poly(query_xy, h)), None
+            )
+            if inside_hole is None:
+                d, pxy = 0.0, query_xy
+            else:
+                d, pxy = _closest_point_on_ring(query_xy, inside_hole)
         else:
-            d = _distance_to_ring(query_xy, ring)
-            # closest boundary vertex as the projection fallback
-            vi = int(np.argmin(np.linalg.norm(ring - query_xy[None], axis=1)))
-            pxy = ring[vi]
+            d, pxy = _closest_point_on_ring(query_xy, ring)
         if d < best_d:
             best, best_d, best_xy = region, d, np.asarray(pxy, np.float64)
     if best is None:

@@ -30,11 +30,14 @@ import jax.numpy as jnp
 
 __all__ = [
     "PlaneSegParams",
+    "PreprocessingParams",
     "eigh3_smallest",
     "sliding_window_normals",
     "connected_components",
     "extract_planes",
     "preprocess",
+    "resample_shape",
+    "true_resolution",
 ]
 
 
@@ -56,6 +59,33 @@ class PlaneSegParams:
     # host-side stage; reference default true
     # (SlidingWindowPlaneExtractorParameters.h:34)
     include_ransac_refinement: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class PreprocessingParams:
+    """Mirrors PreprocessingParameters (GridMapPreprocessing.h:9-16) and the
+    deployed parameters.yaml `preprocessing:` block. resolution is the
+    resample target: negative skips; the deployed value 0.04 equals the map
+    resolution, i.e. a no-op there (changeResolution skips within 1e-6)."""
+
+    resolution: float = 0.04
+    kernel_size: int = 3        # median kernel, clamped to [1, 5]
+    number_of_repeats: int = 1  # deployed parameters.yaml value (header: 2)
+
+
+def resample_shape(shape, old_res: float, new_res: float):
+    """New grid dims after resample (inpainting.cpp:265-270: truncation)."""
+    scaling = old_res / new_res
+    return (int(shape[0] * scaling), int(shape[1] * scaling))
+
+
+def true_resolution(old_shape, old_res: float, new_shape) -> float:
+    """The 'true new resolution' after size truncation — average of both
+    dimensions (inpainting.cpp:280-282)."""
+    return 0.5 * (
+        (old_shape[0] * old_res) / new_shape[0]
+        + (old_shape[1] * old_res) / new_shape[1]
+    )
 
 
 def eigh3_smallest(A: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
@@ -308,17 +338,32 @@ class PlaneExtraction(NamedTuple):
     needs_refine: jax.Array  # (max_labels,) bool — failed global-planarity (RANSAC candidates)
 
 
-@functools.partial(jax.jit, static_argnames=("resolution", "params"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("resolution", "params", "kernel_size", "median_passes", "out_shape"),
+)
 def preprocess_and_extract(
     height: jax.Array,
     resolution: float,
     params: PlaneSegParams,
     map_origin: jax.Array = None,
+    kernel_size: int = 3,
+    median_passes: int = 1,
+    out_shape=None,
 ):
-    """One fused dispatch: preprocess → extract_planes. On tunneled/remote
+    """One fused dispatch: preprocess (inpaint → median → optional resample,
+    GridMapPreprocessing.cpp:14-18) → extract_planes. On tunneled/remote
     backends each host sync costs tens of ms, so the pipeline runs both
-    device stages in a single jit (PlaneDecompositionPipeline.update)."""
-    h = preprocess(height)
+    device stages in a single jit (PlaneDecompositionPipeline.update).
+
+    `resolution` is the EXTRACTION resolution (post-resample); `out_shape`
+    is the static resampled grid size (resample_shape) or None to skip;
+    `map_origin` is the world position of cell (0,0) at that resolution."""
+    h = preprocess(height, median_passes=median_passes, kernel_size=kernel_size)
+    if out_shape is not None and tuple(out_shape) != h.shape:
+        # cv::resize INTER_LINEAR (inpainting.cpp:272-277): half-pixel
+        # centers, NO antialiasing on downscale (plain bilinear sampling)
+        h = jax.image.resize(h, tuple(out_shape), method="linear", antialias=False)
     return h, extract_planes(h, resolution, params, map_origin)
 
 
@@ -447,58 +492,34 @@ def extract_planes(
 # preprocessing (GridMapPreprocessing.cpp:14-39)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("inpaint_iters", "median_passes"))
-def preprocess(height: jax.Array, inpaint_iters: int = 0, median_passes: int = 1) -> jax.Array:
-    """min-values inpaint (grid_map_filters_rsl inpainting::minValues,
-    inpainting.cpp:25-94) then 3x3 median denoise.
-
-    inpaint_iters=0 (default) iterates to the fixed point in a bounded
-    while_loop (like the reference, which loops until no NaN remains), so
-    every hole connected to a finite cell is filled; only fully-isolated
-    NaN regions survive, and the NaN-substituting median cannot grow them.
+@functools.partial(jax.jit, static_argnames=("inpaint_iters", "median_passes", "kernel_size"))
+def preprocess(
+    height: jax.Array,
+    inpaint_iters: int = 0,
+    median_passes: int = 1,
+    kernel_size: int = 3,
+) -> jax.Array:
+    """GridMapPreprocessing inpaint + denoise (GridMapPreprocessing.cpp:14-39):
+    min-values inpaint to the reference fixed point (every NaN-connected
+    region takes the MINIMUM value along its contour — inpainting.cpp:25-94
+    keeps lowering filled cells until nothing changes) then kxk median
+    denoise repeated median_passes times (kernel clamped to [1,5] like
+    denoise(), which bounds cv::medianBlur's float support).
     """
+    from ..ops.gridmap_filters import inpaint_min_values
+
     H, W = height.shape
+    h = inpaint_min_values(height, iterations=inpaint_iters)
 
-    def inpaint_round(h):
-        missing = ~jnp.isfinite(h)
-        best = jnp.full_like(h, jnp.inf)
-        for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
-            nb = jnp.roll(h, (dy, dx), axis=(0, 1))
-            if dy > 0:
-                nb = nb.at[:dy].set(jnp.nan)
-            elif dy < 0:
-                nb = nb.at[dy:].set(jnp.nan)
-            if dx > 0:
-                nb = nb.at[:, :dx].set(jnp.nan)
-            elif dx < 0:
-                nb = nb.at[:, dx:].set(jnp.nan)
-            best = jnp.minimum(best, jnp.where(jnp.isfinite(nb), nb, jnp.inf))
-        return jnp.where(missing & jnp.isfinite(best), best, h)
-
-    h = height
-    if inpaint_iters > 0:
-        for _ in range(inpaint_iters):
-            h = inpaint_round(h)
-    else:
-        def n_missing(v):
-            return jnp.sum(~jnp.isfinite(v))
-
-        def cond(carry):
-            h, prev, it = carry
-            cnt = n_missing(h)
-            # stop at the fixed point: all filled, or no progress
-            # (isolated all-NaN islands have no finite neighbor to copy)
-            return (it < H + W) & (cnt > 0) & (cnt != prev)
-
-        def body(carry):
-            h, prev, it = carry
-            return inpaint_round(h), n_missing(h), it + 1
-
-        h, _, _ = jax.lax.while_loop(cond, body, (h, jnp.int32(-1), 0))
-
+    k = max(1, min(kernel_size, 5))
+    if k % 2 == 0:
+        k += 1
+    half = k // 2
     for _ in range(median_passes):
-        pad = jnp.pad(h, 1, mode="edge")
-        center = pad[1 : 1 + H, 1 : 1 + W]
+        if k == 1:
+            break
+        pad = jnp.pad(h, half, mode="edge")
+        center = pad[half : half + H, half : half + W]
         # NaN neighbors (only possible in isolated all-NaN islands) fall
         # back to the center value so min/max exchanges stay NaN-free
         v = [
@@ -507,10 +528,11 @@ def preprocess(height: jax.Array, inpaint_iters: int = 0, median_passes: int = 1
                 pad[dy : dy + H, dx : dx + W],
                 center,
             )
-            for dy in range(3)
-            for dx in range(3)
+            for dy in range(k)
+            for dx in range(k)
         ]
-        h = jnp.where(jnp.isfinite(h), _median9(v), h)
+        med = _median9(v) if k == 3 else jnp.median(jnp.stack(v), axis=0)
+        h = jnp.where(jnp.isfinite(h), med, h)
     return h
 
 

@@ -1,13 +1,15 @@
 """Plane decomposition pipeline (PlaneDecompositionPipeline equivalent).
 
-Orchestrates: preprocess (inpaint + denoise, on device) → sliding-window
-plane extraction + connected components + plane fits (on device, extract.py)
-→ optional host RANSAC refinement for labels failing the global planarity
-gate → contour extraction + insets + convex approximation (host, contour.py)
-→ postprocessing layers (smooth_planar).
+Orchestrates: preprocess (inpaint + denoise + resample, on device) →
+sliding-window plane extraction + connected components + plane fits (on
+device, extract.py) → optional host RANSAC refinement for labels failing
+the global planarity gate → contour extraction + insets + convex
+approximation (host, contour.py) → full postprocessing (region height
+offsets, non-planar dilation, smooth_planar layer — postprocess.py).
 
 Reference: plane_segmentation/convex_plane_decomposition/src/
-PlaneDecompositionPipeline.cpp:13-39, Postprocessing.cpp:14-31.
+PlaneDecompositionPipeline.cpp:13-39, GridMapPreprocessing.cpp:14-39,
+Postprocessing.cpp:14-31.
 """
 
 from __future__ import annotations
@@ -15,14 +17,21 @@ from __future__ import annotations
 import dataclasses
 import math
 import time
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .contour import PlanarRegion, extract_boundaries, grow_convex_polygon
-from .extract import PlaneSegParams, preprocess_and_extract
+from .extract import (
+    PlaneSegParams,
+    PreprocessingParams,
+    preprocess_and_extract,
+    resample_shape,
+    true_resolution,
+)
+from .postprocess import PostprocessingParams, postprocess
 from .ransac import RansacParams, detect_planes
 
 __all__ = ["PlanarTerrain", "PlaneDecompositionPipeline"]
@@ -31,9 +40,13 @@ __all__ = ["PlanarTerrain", "PlaneDecompositionPipeline"]
 @dataclasses.dataclass
 class PlanarTerrain:
     regions: List[PlanarRegion]
-    labels: np.ndarray                # (H, W) final labels
-    filtered_map: np.ndarray          # preprocessed height map
+    labels: np.ndarray                # (H, W) final labels (post-resample grid)
+    filtered_map: np.ndarray          # preprocessed height map ("elevation_before_postprocess")
+    elevation: np.ndarray             # postprocessed elevation (non-planar dilation + offsets)
+    plane_classification: np.ndarray  # (H, W) planar = 1.0 / non-planar = 0.0
     smooth_planar: np.ndarray         # postprocessed smooth layer
+    resolution: float                 # post-resample resolution
+    map_origin: Tuple[float, float]   # world position of cell (0,0) post-resample
     timings: Dict[str, float]
 
 
@@ -47,10 +60,14 @@ class PlaneDecompositionPipeline:
         resolution: float,
         params: PlaneSegParams = PlaneSegParams(),
         ransac: RansacParams = RansacParams(),
+        preprocessing: PreprocessingParams = PreprocessingParams(),
+        postprocessing: PostprocessingParams = PostprocessingParams(),
     ):
         self.resolution = resolution
         self.params = params
         self.ransac = ransac
+        self.preprocessing = preprocessing
+        self.postprocessing = postprocessing
         self._stats: Dict[str, List[float]] = {}
 
     def _record(self, name: str, dt: float) -> None:
@@ -65,19 +82,42 @@ class PlaneDecompositionPipeline:
 
     def update(self, height: np.ndarray, map_origin=(0.0, 0.0)) -> PlanarTerrain:
         timings = {}
+        height = np.asarray(height, np.float32)
+
+        # resample target (GridMapPreprocessing::changeResolution,
+        # GridMapPreprocessing.cpp:25-31): skip if negative or within 1e-6
+        target = self.preprocessing.resolution
+        out_shape = None
+        res = self.resolution
+        origin = (float(map_origin[0]), float(map_origin[1]))
+        if target > 0.0 and abs(self.resolution - target) >= 1e-6:
+            out_shape = resample_shape(height.shape, self.resolution, target)
+            res = true_resolution(height.shape, self.resolution, out_shape)
+            # grid_map keeps the map CENTER fixed across resample
+            # (inpainting.cpp:284 setGeometry with oldPos); origin is the
+            # world position of cell (0,0), world decreasing with index
+            origin = tuple(
+                origin[a]
+                - (height.shape[a] - 1) / 2.0 * self.resolution
+                + (out_shape[a] - 1) / 2.0 * res
+                for a in (0, 1)
+            )
 
         # preprocess + sliding-window extraction run as ONE jitted dispatch,
-        # the smooth_planar postprocess layer is dispatched into the same
-        # async stream, and everything the host stages need comes back in a
-        # single batched device_get: per-stage host syncs/fetches cost tens
-        # of ms on tunneled backends, and the reference's separate timers
-        # map onto one device program here
+        # and everything the host stages need comes back in a single batched
+        # device_get: per-stage host syncs/fetches cost tens of ms on
+        # tunneled backends, and the reference's separate timers map onto
+        # one device program here
         t0 = time.perf_counter()
         h, ext = preprocess_and_extract(
-            jnp.asarray(height, jnp.float32), self.resolution, self.params,
-            jnp.asarray(map_origin, jnp.float32),
+            jnp.asarray(height, jnp.float32),
+            res,
+            self.params,
+            jnp.asarray(origin, jnp.float32),
+            kernel_size=self.preprocessing.kernel_size,
+            median_passes=self.preprocessing.number_of_repeats,
+            out_shape=out_shape,
         )
-        smooth_dev = _smooth_planar_layer(h)
         labels, plane_normals, plane_support, plane_valid, needs_refine = (
             jax.device_get(
                 (
@@ -107,8 +147,8 @@ class PlaneDecompositionPipeline:
             normals_np = np.moveaxis(normals_np, 0, -1)
             next_label = int(labels.max()) + 1
             rows, cols = np.indices(labels.shape)
-            px = map_origin[0] - rows * self.resolution
-            py = map_origin[1] - cols * self.resolution
+            px = origin[0] - rows * res
+            py = origin[1] - cols * res
             for lab in np.where(needs_refine)[0]:
                 member = labels == lab
                 labels[member] = 0
@@ -137,31 +177,45 @@ class PlaneDecompositionPipeline:
         timings["ransac"] = time.perf_counter() - t0
         self._record("ransac", timings["ransac"])
 
+        # postprocess needs the FINAL labels (plane_classification =
+        # labeledImage > 0, PlaneDecompositionPipeline.cpp:31-37) so it is
+        # dispatched now and overlaps with the host contour stage below
+        mask = (labels > 0).astype(np.float32)
+        elev_dev, smooth_dev = postprocess(
+            h, jnp.asarray(mask), res, self.postprocessing
+        )
+
         t0 = time.perf_counter()
         regions = extract_boundaries(
             labels, plane_normals, plane_support, plane_valid,
-            self.resolution, map_origin,
+            res, origin,
         )
         timings["contour_extraction"] = time.perf_counter() - t0
         self._record("contour_extraction", timings["contour_extraction"])
 
-        # postprocess compute was dispatched with the extraction and has long
-        # finished by now (the host RANSAC/contour stages ran in between);
-        # even a block_until_ready here would bill one tunnel round-trip
-        # (~24 ms) against a stage whose device time is ~0.2 ms, so the
-        # output-layer delivery below stays untimed (it is not a pipeline
-        # stage in the reference either)
-        timings["postprocess"] = 0.0
+        # addHeightOffset on the planar regions (Postprocessing.cpp:65-71)
+        t0 = time.perf_counter()
+        z_off = self.postprocessing.extracted_planes_height_offset
+        if z_off != 0.0:
+            for r in regions:
+                r.support[2] += z_off
+        # the device postprocess has long finished (host RANSAC/contour ran
+        # in between); the fetch below delivers the output layers
+        filtered_np, elev_np, smooth_np = jax.device_get((h, elev_dev, smooth_dev))
+        timings["postprocess"] = time.perf_counter() - t0
         self._record("postprocess", timings["postprocess"])
 
         timings["total"] = sum(timings.values())
         self._record("total", timings["total"])
-        filtered_np, smooth_np = jax.device_get((h, smooth_dev))
         return PlanarTerrain(
             regions=regions,
             labels=labels,
             filtered_map=np.asarray(filtered_np),
+            elevation=np.asarray(elev_np),
+            plane_classification=mask,
             smooth_planar=np.asarray(smooth_np),
+            resolution=res,
+            map_origin=origin,
             timings=timings,
         )
 
@@ -178,20 +232,14 @@ class PlaneDecompositionPipeline:
         hit = project_to_planar_region(np.asarray(query_xy, np.float64), terrain.regions)
         if hit is None:
             return None
-        best, _ = hit
+        best, proj = hit
+        # grow at the PROJECTED point (the reference demo does the same);
+        # for a contained query the projection equals the query, otherwise
+        # seeding at the raw query could start outside the polygon
+        seed = np.asarray(proj[:2], np.float64)
         return grow_convex_polygon(
             best.boundary_with_holes.boundary,
             best.boundary_with_holes.holes,
-            query_xy,
+            seed,
             n_vertices=n_vertices,
         )
-
-
-@jax.jit
-def _smooth_planar_layer(h: jax.Array) -> jax.Array:
-    """'smooth_planar' layer: NaN fill → box+gauss-ish blur
-    (Postprocessing.cpp:73-144, simplified to the blur cascade)."""
-    from ..ops import stencil
-
-    filled = jnp.where(jnp.isfinite(h), h, jnp.nanmin(jnp.where(jnp.isfinite(h), h, jnp.inf)))
-    return stencil.uniform_smooth(filled, passes=3, size=3)

@@ -76,7 +76,17 @@ def detect_planes(
         hyp = np.arange(len(cand))
         coarse = rank(hyp, 512)
         top = hyp[np.argsort(-coarse)[:16]]
-        best = int(top[np.argmax(rank(top, 8192))])
+        fine = rank(top, 8192)
+        best_i = int(np.argmax(fine))
+        # near-tied winners get a full-support re-rank: the sampled count
+        # carries ~sqrt(c) noise, so two close planes could swap places on
+        # the full set (keeps the old full-evaluation winner deterministic)
+        noise = 3.0 * np.sqrt(max(float(fine[best_i]), 1.0)) + 1.0
+        tied = top[fine >= fine[best_i] - noise]
+        if len(pts) > 8192 and len(tied) > 1:
+            best = int(tied[np.argmax(rank(tied, len(pts)))])
+        else:
+            best = int(top[best_i])
 
         def full_inliers(b: int) -> np.ndarray:
             bd = np.abs(pts @ n0[b] - off[b])

@@ -96,7 +96,8 @@ class _Detectron2Panoptic:
         cfg.merge_from_file(model_zoo.get_config_file(weights))
         cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST = 0.5
         cfg.MODEL.WEIGHTS = model_zoo.get_checkpoint_url(weights)
-        cfg.MODEL.DEVICE = "cpu"
+        # reference DetectronModel runs on CUDA when present; fall back to CPU
+        cfg.MODEL.DEVICE = "cuda" if torch.cuda.is_available() else "cpu"
         self.predictor = DefaultPredictor(cfg)
         meta = MetadataCatalog.get(cfg.DATASETS.TRAIN[0])
         stuff = {c: i for i, c in enumerate(meta.get("stuff_classes"))}
