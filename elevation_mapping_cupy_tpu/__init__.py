@@ -29,9 +29,9 @@ if not _os.environ.get("JAX_COMPILATION_CACHE_DIR") and not _os.environ.get(
     except Exception:  # very old jax
         pass
 
-from .config import MapConfig, load_config
+from .config import MapConfig, load_config, load_config_with_extras
 from .state import MapState, init_state
 
 __version__ = "0.1.0"
 
-__all__ = ["MapConfig", "load_config", "MapState", "init_state", "__version__"]
+__all__ = ["MapConfig", "load_config", "load_config_with_extras", "MapState", "init_state", "__version__"]

@@ -18,7 +18,13 @@ import math
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Mapping, Optional, Tuple
 
-__all__ = ["MapConfig", "load_config", "DEFAULT_CORE_LAYERS"]
+__all__ = [
+    "MapConfig",
+    "load_config",
+    "load_config_with_extras",
+    "ROS_ONLY_KEYS",
+    "DEFAULT_CORE_LAYERS",
+]
 
 # Core layer order  (reference: elevation_mapping.py:69-77)
 DEFAULT_CORE_LAYERS: Tuple[str, ...] = (
@@ -219,22 +225,96 @@ class MapConfig:
         return default
 
 
-def load_config(yaml_path: str, **overrides: Any) -> MapConfig:
-    """Load a reference-style core_param.yaml into a MapConfig.
+# Keys that exist only in the reference's ROS layer (node wiring, frames,
+# timers, initializer service, traversability-backend choice) — they are
+# meaningful configuration, just not MapConfig fields. load_config collects
+# them into the extras dict without warning; the runtime service consumes
+# the relevant ones (elevation_mapping_ros.cpp:77-228, core_param.yaml).
+ROS_ONLY_KEYS = frozenset(
+    {
+        "map_frame",
+        "base_frame",
+        "corrected_map_frame",
+        "update_variance_fps",
+        "update_pose_fps",
+        "map_acquire_fps",
+        "publish_statistics_fps",
+        "position_lowpass_alpha",
+        "orientation_lowpass_alpha",
+        "enable_pointcloud_publishing",
+        "enable_drift_corrected_TF_publishing",
+        "enable_normal_color",
+        "use_chainer",
+        "weight_file",
+        "initialize_method",
+        "initialize_frame_id",
+        "initialize_tf_offset",
+        "initialize_tf_grid_size",
+        "use_initializer_at_start",
+        "plugin_config_file",
+        "subscribers",
+        "publishers",
+    }
+)
 
-    Unknown keys are ignored (the reference YAML carries ROS-only keys such
-    as publishers/subscribers which have no meaning here).
-    """
+# The reference's shipped core_param.yaml misspells this key
+# (core_param.yaml:7). NOTE the reference's own C++ bridge mirrors params BY
+# DATACLASS FIELD NAME (wrapper.cpp:45-77), so the misspelled key is never
+# read there and the robot runs with the dataclass default — we honor the
+# yaml's INTENT instead and say so with a warning.
+KEY_ALIASES = {
+    "drift_compensation_variance_inler": "drift_compensation_variance_inlier",
+}
+
+
+def load_config_with_extras(
+    yaml_path: str, **overrides: Any
+) -> Tuple[MapConfig, Dict[str, Any]]:
+    """Load a reference-style core_param.yaml.
+
+    Returns (config, extras) where extras carries the ROS-layer keys
+    (frames, fps timers, initializer, subscribers/publishers blocks) for the
+    runtime service. Unknown keys that are neither MapConfig fields nor
+    known ROS keys raise a UserWarning instead of being silently dropped
+    (a typo'd tunable must not degrade parity without a signal)."""
+    import warnings
+
     import yaml
 
     with open(yaml_path, "r") as f:
         raw: Mapping[str, Any] = yaml.safe_load(f) or {}
     known = {f.name for f in dataclasses.fields(MapConfig)}
-    kw: Dict[str, Any] = {k: v for k, v in raw.items() if k in known}
+    kw: Dict[str, Any] = {}
+    extras: Dict[str, Any] = {}
+    for k, v in raw.items():
+        if k in KEY_ALIASES:
+            warnings.warn(
+                f"config key '{k}' is the reference yaml's misspelling of "
+                f"'{KEY_ALIASES[k]}'; applying it to the correct field "
+                "(the reference C++ bridge silently drops it)",
+                stacklevel=2,
+            )
+            k = KEY_ALIASES[k]
+        if k in known:
+            kw[k] = v
+        elif k in ROS_ONLY_KEYS:
+            extras[k] = v
+        else:
+            warnings.warn(
+                f"unknown config key '{k}' ignored (not a MapConfig field "
+                "or a known ROS-layer key — check for typos)",
+                stacklevel=2,
+            )
     for name in ("pointcloud_channel_fusions", "image_channel_fusions"):
         if name in kw and isinstance(kw[name], dict):
             kw[name] = tuple(sorted(kw[name].items()))
     if "semantic_layers" in kw and isinstance(kw["semantic_layers"], list):
         kw["semantic_layers"] = tuple(kw["semantic_layers"])
     kw.update(overrides)
-    return MapConfig(**kw)
+    return MapConfig(**kw), extras
+
+
+def load_config(yaml_path: str, **overrides: Any) -> MapConfig:
+    """Load a reference-style core_param.yaml into a MapConfig (see
+    load_config_with_extras for the ROS-layer keys)."""
+    return load_config_with_extras(yaml_path, **overrides)[0]

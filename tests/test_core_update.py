@@ -146,8 +146,18 @@ def test_raycast_actually_fires(rng):
         state, jnp.asarray(padded), jnp.asarray(mask), jnp.asarray(R), jnp.asarray(t),
         jnp.float32(0.0), jnp.float32(0.0), weights, cfg,
     )
-    # validity must not increase blindly; raycast dec + average reset happen
     assert np.isfinite(np.asarray(state2.layers)).all()
+    # the raycast must actually DECREMENT validity somewhere: compare the
+    # validity layer against a run with visibility cleanup disabled — the
+    # only difference is the raycast's dec_valid/outlier_variance writes
+    state_nc = core.update_pointcloud(
+        state, jnp.asarray(padded), jnp.asarray(mask), jnp.asarray(R), jnp.asarray(t),
+        jnp.float32(0.0), jnp.float32(0.0), weights,
+        cfg.replace(enable_visibility_cleanup=False),
+    )
+    dec = np.asarray(state_nc.layers[2]) - np.asarray(state2.layers[2])
+    assert dec.max() > cfg.cleanup_step - 1e-6, "raycast never fired"
+    assert (dec >= -1e-6).all()  # cleanup only ever lowers validity
 
 
 def test_move_to_shifts_map(rng):

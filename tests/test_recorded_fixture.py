@@ -1,0 +1,24 @@
+"""Recorded-output regression: the engine's output at a pinned config must
+stay byte-stable across refactors (VERDICT r1: a tamper detector the
+self-authored NumPy oracle cannot provide — if BOTH the engine and the
+oracle drift together, this fixture still catches it).
+
+Regenerate deliberately with:  python -m tests.make_recorded_fixture
+(any diff then shows up in git as a changed binary + this docstring forces
+the change to be explained in review).
+"""
+
+import numpy as np
+
+from .make_recorded_fixture import FIXTURE, run_pinned
+
+
+def test_engine_matches_recorded_fixture():
+    rec = np.load(FIXTURE)
+    layers, normal = run_pinned()
+    np.testing.assert_allclose(
+        layers, rec["layers"], atol=1e-5,
+        err_msg="engine output drifted from the recorded fixture — if the "
+        "change is intentional, regenerate with python -m tests.make_recorded_fixture",
+    )
+    np.testing.assert_allclose(normal, rec["normal"], atol=1e-5)
