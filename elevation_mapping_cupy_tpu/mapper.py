@@ -63,6 +63,12 @@ def _export_layer(state: MapState, cfg: MapConfig, name: str, flip: bool = False
         m = pub(L[0], fill_nan=True, add_z=True)
     elif name == "variance":
         m = pub(L[1])
+    elif name == "is_valid":
+        # Deviation: the reference lists is_valid in layer_names but its
+        # get_map_with_name_ref has no branch for it and prints "not in the
+        # map" (elevation_mapping.py:720-767). We export the raw mask — the
+        # replay/parity harness needs it.
+        m = pub(L[2])
     elif name == "traversability":
         trav = jnp.where((L[2] + L[6]) > 0.5, L[3], jnp.nan)
         buf = jnp.full_like(trav, jnp.nan)

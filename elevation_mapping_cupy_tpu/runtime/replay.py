@@ -66,8 +66,19 @@ def replay(
     snapshot_layers: Sequence[str] = ("elevation", "traversability"),
     move_with_pose: bool = True,
     mapper: Optional[ElevationMap] = None,
+    raycast_mode: Optional[str] = None,
 ) -> List[Dict[str, np.ndarray]]:
-    """Run a log through the engine; returns per-frame layer snapshots."""
+    """Run a log through the engine; returns per-frame layer snapshots.
+
+    ``raycast_mode`` overrides ``cfg.raycast_mode`` per run ("exact" for
+    reference-parity replays, "polar" for the production fast path). Parity
+    runs should pass "exact": the polar backend's divergence is bounded but
+    nonzero (see tests/test_raycast_modes.py trajectory bound).
+    """
+    if raycast_mode is not None:
+        cfg = dataclasses.replace(cfg, raycast_mode=raycast_mode)
+        if mapper is not None:
+            raise ValueError("pass raycast_mode via the mapper's cfg when supplying a mapper")
     em = mapper or ElevationMap(cfg)
     out = []
     buf = np.zeros((em.cell_n - 2, em.cell_n - 2), np.float32)

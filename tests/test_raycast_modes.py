@@ -67,3 +67,60 @@ def test_polar_matches_exact_in_aggregate(rng, slope_from_bins):
     if both.any():
         assert np.abs(a[5][both] - b[5][both]).max() < 0.5
         assert np.median(np.abs(a[5][both] - b[5][both])) < 0.05
+
+
+def test_polar_trajectory_divergence_bound(rng, tmp_path):
+    """Trajectory-level (24-frame, recentering) polar-vs-exact bound.
+
+    The single-update aggregate bound above doesn't rule out accumulated
+    drift; this replays a 2.8 m traverse (multiple recenters) with a
+    transient obstacle that raycast must clear, and bounds the per-frame
+    divergence. Committed bound (measured worst frame: IoU 0.989,
+    frac(dt>0.1) 5.9%, p99 0.33): elevation identical on jointly-valid
+    cells, validity IoU > 0.95 every frame, traversability frac(>0.1) < 10%
+    and p99 < 0.45 where both finite — disagreement is local validity flips
+    at obstacle edges, not accumulated drift. Parity replays should still
+    use raycast_mode="exact" (runtime/replay.py); this bound is what
+    "polar in production" costs.
+    """
+    from elevation_mapping_cupy_tpu.runtime.replay import LogWriter, replay
+
+    w = LogWriter()
+    n_frames = 24
+    for i in range(n_frames):
+        x0 = 0.12 * i  # 2.76 m travel -> multiple recenters on a 4 m map
+        pts = rng.uniform(-1.8, 1.8, (6000, 3)).astype(np.float32)
+        pts[:, 2] = rng.uniform(-0.05, 0.05, 6000).astype(np.float32)
+        wx = pts[:, 0] + x0  # world-fixed box obstacle
+        box = (wx > 1.5) & (wx < 1.9) & (np.abs(pts[:, 1]) < 0.4)
+        pts[box, 2] = 0.35
+        # transient obstacle frames 5-10, then rays must clear it
+        dyn = (pts[:, 0] > 0.6) & (pts[:, 0] < 0.9) & (pts[:, 1] > 0.5) & (pts[:, 1] < 0.9)
+        if 5 <= i <= 10:
+            pts[dyn, 2] = 0.45
+        t = np.array([x0, 0.0, 0.6], np.float32)
+        w.add(pts, np.eye(3, dtype=np.float32), t, position=t, stamp=0.1 * i)
+    path = str(tmp_path / "traj.npz")
+    w.save(path)
+
+    cfg = MapConfig(resolution=0.1, map_length=4.0, max_ray_length=1.5,
+                    max_points=8192, enable_drift_compensation=False)
+    layers = ("elevation", "traversability", "is_valid")
+    ex = replay(path, cfg, snapshot_layers=layers, raycast_mode="exact")
+    po = replay(path, cfg, snapshot_layers=layers, raycast_mode="polar")
+
+    for k in range(n_frames):
+        e, p = ex[k], po[k]
+        ve = e["is_valid"] > 0.5
+        vp = p["is_valid"] > 0.5
+        iou = (ve & vp).sum() / max((ve | vp).sum(), 1)
+        assert iou > 0.95, f"frame {k}: validity IoU {iou:.4f}"
+        both = ve & vp
+        de = np.abs(e["elevation"][both] - p["elevation"][both])
+        assert de.max() < 1e-3, f"frame {k}: elevation diverged {de.max():.4f}"
+        fe = np.isfinite(e["traversability"]) & np.isfinite(p["traversability"])
+        dt = np.abs(e["traversability"][fe] - p["traversability"][fe])
+        frac = float(np.mean(dt > 0.1))
+        p99 = float(np.quantile(dt, 0.99))
+        assert frac < 0.10, f"frame {k}: {frac:.3f} of cells disagree >0.1"
+        assert p99 < 0.45, f"frame {k}: traversability p99 {p99:.4f}"
