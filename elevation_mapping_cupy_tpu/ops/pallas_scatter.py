@@ -28,6 +28,7 @@ cell counts (< 2^24) are exact in f32.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -46,10 +47,42 @@ __all__ = ["mxu_scatter_add_2d", "supported_backend"]
 # __init__.py).
 _MAX_CHUNK = 2048
 
-# Per-call VMEM budget (v5e has 16 MiB/core; leave headroom for Mosaic
-# temporaries and double-buffered input blocks — chunk 2048 at 8 parts
-# ≈ 12.9 MiB estimated compiles and runs, 3072 ≈ 18 MiB does not).
-_VMEM_BUDGET = 14 * 1024 * 1024
+# Per-core VMEM by device kind. Every shipped generation we can name is
+# 16 MiB/core (the pallas guide's "~16 MB/core"); unknown kinds fall back to
+# the same conservative figure, so a newer chip is under-used rather than
+# OOM'd. Override with ELEV_TPU_VMEM_MB (total per-core MiB) on chips with
+# more.
+_VMEM_SIZE_BY_KIND_MIB = {
+    "v2": 16, "v3": 16, "v4": 16, "v5": 16, "v5 lite": 16, "v5e": 16,
+    "v5p": 16,
+}
+_VMEM_DEFAULT_MIB = 16
+
+# Headroom left for Mosaic temporaries and double-buffered input blocks.
+# On a 16 MiB core this yields the measured v5e envelope: chunk 2048 at
+# 8 parts ≈ 12.9 MiB estimated compiles and runs, 3072 ≈ 18 MiB does not.
+_VMEM_HEADROOM = 2 * 1024 * 1024
+
+
+@functools.lru_cache(maxsize=1)
+def _vmem_budget() -> int:
+    """Per-call VMEM budget: queried device size minus headroom.
+
+    Trace-time decision (cached); ELEV_TPU_VMEM_MB overrides the queried
+    size for chips not in the table."""
+    env = os.environ.get("ELEV_TPU_VMEM_MB")
+    if env:
+        return int(float(env) * 1024 * 1024) - _VMEM_HEADROOM
+    mib = _VMEM_DEFAULT_MIB
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+        for key, v in _VMEM_SIZE_BY_KIND_MIB.items():
+            if key in kind:
+                mib = v
+                break
+    except Exception:
+        pass
+    return mib * 1024 * 1024 - _VMEM_HEADROOM
 
 # Cap on bf16 value parts per pallas call; wider stream sets are split into
 # groups (each group is its own full-MXU launch).
@@ -62,11 +95,12 @@ def _n_parts(exact: Tuple[bool, ...]) -> int:
 
 def _pick_chunk(hp: int, wp: int, k_streams: int, parts: int) -> int:
     """Largest power-of-two chunk ≤ _MAX_CHUNK whose working set fits VMEM."""
+    budget = _vmem_budget()
     fixed = 4 * hp * parts * wp + 4 * hp * k_streams * wp  # res + out (f32)
     chunk = _MAX_CHUNK
     while chunk > 256:
         per_pt = 2 * (parts * wp + hp + wp) + 4 * (2 + k_streams)
-        if fixed + chunk * per_pt <= _VMEM_BUDGET:
+        if fixed + chunk * per_pt <= budget:
             break
         chunk //= 2
     return chunk
@@ -84,7 +118,7 @@ def fits_vmem(h: int, w: int, exact: Tuple[bool, ...]) -> bool:
     k = min(len(exact), _MAX_PARTS)  # wide sets split into ≤_MAX_PARTS groups
     fixed = 4 * hp * parts * wp + 4 * hp * k * wp
     per_pt = 2 * (parts * wp + hp + wp) + 4 * (2 + k)
-    return fixed + 256 * per_pt <= _VMEM_BUDGET
+    return fixed + 256 * per_pt <= _vmem_budget()
 
 
 def supported_backend() -> bool:

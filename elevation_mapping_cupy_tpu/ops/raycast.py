@@ -38,9 +38,18 @@ def visibility_cleanup(
         return layers
     mode = cfg.raycast_mode
     if mode == "auto":
+        # Wall-clock, not FLOPs: the exact march is a lax.scan of
+        # cfg.n_ray_steps *serialized* scatter rounds, so its latency is
+        # ~steps x per-round cost regardless of how little total work each
+        # round does, while the polar cube is ~3 parallel scatters. Measured
+        # on v5e (70 steps): exact 26/78/381/1592 ms at 2k/10k/50k/200k pts
+        # vs polar 5.2/5.7/6.6/12.7 ms — polar wins at every size once the
+        # march is more than a handful of steps. Keep exact only for
+        # short-ray configs where the scan can't dominate AND the cube would
+        # be much larger than the march.
         cube = cfg.azimuth_bins * (cfg.n_ray_steps + 2) * cfg.raycast_elevation_bins
         march = cfg.n_ray_steps * cfg.max_points
-        mode = "exact" if march < cube else "polar"
+        mode = "exact" if (cfg.n_ray_steps <= 12 and march * 8 < cube) else "polar"
     if mode == "polar":
         return visibility_cleanup_polar(layers, normal, assoc, inlier_cnt, t, cfg)
     return visibility_cleanup_exact(layers, normal, assoc, inlier_cnt, t, cfg)

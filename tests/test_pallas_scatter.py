@@ -98,3 +98,46 @@ def test_batched_launch_matches_reference(rng):
         np.testing.assert_allclose(
             np.asarray(out[i]), _ref(rows[i], cols[i], vals[i], h, w), atol=2e-4
         )
+
+
+def test_vmem_budget_derivation(monkeypatch):
+    """Portable VMEM budgeting: the budget is derived (device kind or env
+    override), and the v5e envelope still picks chunk 2048 at the reference
+    map scale (202+2 cells padded to 208x256, 4 f32 streams -> 10 parts
+    capped... exact flags included)."""
+    from elevation_mapping_cupy_tpu.ops import pallas_scatter as ps
+
+    ps._vmem_budget.cache_clear()
+    monkeypatch.delenv("ELEV_TPU_VMEM_MB", raising=False)
+    assert ps._vmem_budget() == 16 * 1024 * 1024 - ps._VMEM_HEADROOM
+
+    # the v5e special case: reference-scale map, error_counting's stream set
+    hp, wp = 208, 256
+    # 2 inexact f32 streams (3 parts each) + 2 exact = 8 parts
+    chunk = ps._pick_chunk(hp, wp, k_streams=4, parts=8)
+    assert chunk == 2048
+
+    # env override shrinks the budget -> smaller chunk
+    monkeypatch.setenv("ELEV_TPU_VMEM_MB", "8")
+    ps._vmem_budget.cache_clear()
+    assert ps._vmem_budget() == 8 * 1024 * 1024 - ps._VMEM_HEADROOM
+    assert ps._pick_chunk(hp, wp, k_streams=4, parts=8) < 2048
+    ps._vmem_budget.cache_clear()
+
+
+def test_raycast_auto_prefers_polar_at_production_scale():
+    """auto mode must not route production configs onto the serialized
+    exact march (measured v5e: polar 5-13 ms vs exact 26-1592 ms at all
+    cloud sizes with the default 70-step rays)."""
+    from unittest import mock
+
+    from elevation_mapping_cupy_tpu import MapConfig
+    from elevation_mapping_cupy_tpu.ops import raycast as rc
+
+    for n_pts in (2_000, 100_000, 1_000_000):
+        cfg = MapConfig(max_points=n_pts, raycast_mode="auto")
+        assert cfg.n_ray_steps > 12
+        with mock.patch.object(rc, "visibility_cleanup_polar") as pol, \
+             mock.patch.object(rc, "visibility_cleanup_exact") as ex:
+            rc.visibility_cleanup(None, None, None, None, None, cfg)
+        assert pol.called and not ex.called
