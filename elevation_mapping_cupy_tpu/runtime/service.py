@@ -20,7 +20,14 @@ import numpy as np
 from ..config import MapConfig
 from ..mapper import ElevationMap
 
-__all__ = ["SensorFrame", "Publisher", "Statistics", "MappingService"]
+__all__ = [
+    "SensorFrame",
+    "Publisher",
+    "Statistics",
+    "MappingService",
+    "SubscriberConfig",
+    "parse_subscribers",
+]
 
 
 @dataclasses.dataclass
@@ -43,6 +50,52 @@ class Publisher:
     fps: float
     callback: Callable[[Dict[str, np.ndarray]], None]
     last_publish: float = 0.0
+    basic_layers: Tuple[str, ...] = ()
+
+
+@dataclasses.dataclass
+class SubscriberConfig:
+    """One entry of the reference's `subscribers:` YAML block
+    (elevation_mapping_ros.cpp:77-152): a named sensor with a data type and
+    its channel list. Pointcloud subscribers always carry x/y/z first; image
+    subscribers default to ("rgb",) when no channels are configured."""
+
+    key: str
+    data_type: str                       # "pointcloud" | "image"
+    topic_name: str = ""
+    channels: Tuple[str, ...] = ()
+    camera_info_topic_name: str = ""
+    channel_info_topic_name: str = ""
+
+
+def parse_subscribers(block: Dict[str, Dict]) -> Dict[str, SubscriberConfig]:
+    """Parse the `subscribers:` extras block (reference YAML schema)."""
+    out: Dict[str, SubscriberConfig] = {}
+    for key, sc in (block or {}).items():
+        dtype = str(sc.get("data_type", ""))
+        if dtype not in ("pointcloud", "image"):
+            # reference warns and skips unknown data types (:152-154)
+            import warnings
+
+            warnings.warn(
+                f"subscriber '{key}' data_type '{dtype}' not valid; "
+                "supported: pointcloud, image"
+            )
+            continue
+        chans = tuple(str(c) for c in sc.get("channels", ()))
+        if dtype == "pointcloud":
+            chans = ("x", "y", "z") + tuple(c for c in chans if c not in ("x", "y", "z"))
+        elif not chans:
+            chans = ("rgb",)
+        out[key] = SubscriberConfig(
+            key=key,
+            data_type=dtype,
+            topic_name=str(sc.get("topic_name", "")),
+            channels=chans,
+            camera_info_topic_name=str(sc.get("camera_info_topic_name", "")),
+            channel_info_topic_name=str(sc.get("channel_info_topic_name", "")),
+        )
+    return out
 
 
 @dataclasses.dataclass
@@ -51,6 +104,56 @@ class Statistics:
     frames_processed: int = 0
     frames_dropped: int = 0
     last_update_latency: float = 0.0
+
+
+def _transform_submap(
+    layers: Dict[str, np.ndarray],
+    xs: np.ndarray,
+    ys: np.ndarray,
+    height_layer: str,
+    R: np.ndarray,
+    t: np.ndarray,
+    res: float,
+) -> Dict[str, np.ndarray]:
+    """Transform a map-frame submap into the request frame by forward point
+    splat (grid_map::GridMap::getTransformedMap semantics: every valid cell
+    becomes a 3D point (x, y, height), is transformed, and lands in the
+    nearest cell of a new same-resolution grid covering the transformed
+    footprint; non-height layers ride along; unhit cells are NaN)."""
+    X, Y = np.meshgrid(xs, ys, indexing="ij")
+    h = layers.get(height_layer)
+    if h is not None:
+        valid = np.isfinite(h).reshape(-1)
+        Z = np.where(np.isfinite(h), h, 0.0)
+    else:
+        valid = np.ones(X.size, bool)
+        Z = np.zeros_like(X)
+    P = np.stack([X, Y, Z], axis=-1).reshape(-1, 3)
+    Q = P @ R.T + t
+
+    # new grid bounds from the transformed footprint corners (grid_map uses
+    # the map corners so the grid exists even when no cell is valid)
+    corners = np.array([
+        [xs[0], ys[0], 0.0], [xs[0], ys[-1], 0.0],
+        [xs[-1], ys[0], 0.0], [xs[-1], ys[-1], 0.0],
+    ]) @ R.T + t
+    lo = corners[:, :2].min(axis=0) - res / 2
+    hi = corners[:, :2].max(axis=0) + res / 2
+    nx = max(int(np.ceil((hi[0] - lo[0]) / res)), 1)
+    ny = max(int(np.ceil((hi[1] - lo[1]) / res)), 1)
+
+    qi = np.clip(((Q[:, 0] - lo[0]) / res).astype(int), 0, nx - 1)
+    qj = np.clip(((Q[:, 1] - lo[1]) / res).astype(int), 0, ny - 1)
+    qi, qj, Q = qi[valid], qj[valid], Q[valid]
+
+    out: Dict[str, np.ndarray] = {}
+    for name, m in layers.items():
+        dst = np.full((nx, ny), np.nan, np.float32)
+        vals = Q[:, 2] if name == height_layer else m.reshape(-1)[valid]
+        dst[qi, qj] = vals
+        # match the map-frame export orientation: row 0 / col 0 = max coord
+        out[name] = dst[::-1, ::-1].copy()
+    return out
 
 
 class MappingService:
@@ -91,11 +194,66 @@ class MappingService:
         # optional callable returning (N, 3) world points for
         # clear_map_with_initializer (reference: TF frame positions)
         self.initialize_points_provider: Optional[Callable[[], np.ndarray]] = None
+        # named sensors from the config's `subscribers:` block
+        self.subscribers: Dict[str, SubscriberConfig] = {}
+
+    @classmethod
+    def from_config(cls, yaml_path: str, **kw) -> "MappingService":
+        """Build a service from a reference-style core_param.yaml: MapConfig
+        fields drive the engine; the ROS-layer extras wire the runtime
+        (subscribers, publishers, fps timers, lowpass alpha) the way
+        ElevationMappingNode::ElevationMappingNode does
+        (elevation_mapping_ros.cpp:50-228)."""
+        from ..config import load_config_with_extras
+
+        cfg, extras = load_config_with_extras(yaml_path)
+        kw.setdefault("variance_fps", float(extras.get("update_variance_fps", 5.0)))
+        # time_interval is both an engine param and the node's updateTime
+        # timer period (elevation_mapping_ros.cpp:62, parameter.py)
+        if cfg.time_interval > 0:
+            kw.setdefault("time_fps", 1.0 / cfg.time_interval)
+        kw.setdefault("pose_alpha", float(extras.get("position_lowpass_alpha", 0.1)))
+        svc = cls(cfg, **kw)
+        svc.subscribers = parse_subscribers(extras.get("subscribers", {}))
+        for name, spec in (extras.get("publishers") or {}).items():
+            svc.publishers.append(Publisher(
+                name=name,
+                layers=list(spec.get("layers", [])),
+                fps=float(spec.get("fps", 1.0)),
+                callback=lambda _out: None,   # replace via set_publisher_callback
+                basic_layers=tuple(spec.get("basic_layers", ())),
+            ))
+        svc.publish_points_enabled = bool(
+            extras.get("enable_pointcloud_publishing", False)
+        )
+        return svc
+
+    def set_publisher_callback(
+        self, name: str, callback: Callable[[Dict[str, np.ndarray]], None]
+    ) -> None:
+        for pub in self.publishers:
+            if pub.name == name:
+                pub.callback = callback
+                return
+        raise KeyError(name)
 
     # ---------------------------------------------------------------- inputs
-    def enqueue(self, frame: SensorFrame) -> bool:
+    def enqueue(self, frame: SensorFrame, subscriber: Optional[str] = None) -> bool:
         """Non-blocking enqueue; drops the frame when the queue is full (the
-        reference's subscriber queue_size=1 behavior)."""
+        reference's subscriber queue_size=1 behavior).
+
+        ``subscriber`` names an entry of the config's `subscribers:` block:
+        the frame's kind is checked against the configured data_type and
+        empty channels are filled from the subscriber's channel list (the
+        reference's channels_[key] wiring, elevation_mapping_ros.cpp:84-140).
+        """
+        if subscriber is not None:
+            sc = self.subscribers.get(subscriber)
+            if sc is None or sc.data_type != frame.kind:
+                self.stats.frames_dropped += 1
+                return False
+            if not frame.channels:
+                frame = dataclasses.replace(frame, channels=sc.channels)
         try:
             self.queue.put_nowait(frame)
             return True
@@ -191,13 +349,36 @@ class MappingService:
         return processed
 
     # -------------------------------------------------------------- services
-    def get_submap(self, center_xy: np.ndarray, length_xy: Tuple[float, float],
-                   layers: Sequence[str]) -> Dict[str, np.ndarray]:
-        """get_raw_submap service equivalent (elevation_mapping_ros.cpp:507+)."""
+    def get_submap(
+        self,
+        center_xy: np.ndarray,
+        length_xy: Tuple[float, float],
+        layers: Sequence[str],
+        frame_transform: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+        height_layer: str = "elevation",
+    ) -> Dict[str, np.ndarray]:
+        """get_raw_submap service equivalent (elevation_mapping_ros.cpp:507-553).
+
+        ``frame_transform`` is the request-frame handling: (R, t) mapping
+        MAP-frame points into the REQUEST frame — the reference's
+        lookupTransform(requestedFrameId, mapFrameId) result. When given,
+        ``center_xy`` is interpreted in the request frame (transformed into
+        the map frame with the inverse, :521-526), the axis-aligned submap is
+        extracted in the map frame, and the result is transformed into the
+        request frame grid_map::getTransformedMap-style (forward point splat
+        of each valid cell's (x, y, height) with non-height layers carried
+        along, :539-541).
+        """
         res = self.mapper.resolution
         n = self.mapper.cell_n - 2
-        full = np.zeros((n, n), np.float32)
         c = np.asarray(self.mapper.center[:2])
+        center_xy = np.asarray(center_xy, np.float64)
+        if frame_transform is not None:
+            Rf = np.asarray(frame_transform[0], np.float64)
+            tf = np.asarray(frame_transform[1], np.float64)
+            p = np.array([center_xy[0], center_xy[1], 0.0])
+            center_xy = (Rf.T @ (p - tf))[:2]
+        full = np.zeros((n, n), np.float32)
         half = np.array(length_xy) / 2
         lo = np.clip(((center_xy - half - (c - n * res / 2)) / res).astype(int), 0, n)
         hi = np.clip(((center_xy + half - (c - n * res / 2)) / res).astype(int), 0, n)
@@ -210,7 +391,13 @@ class MappingService:
             # n-1-i, see get_map_pointcloud); convert the world-frame index
             # window into exported coordinates before slicing
             out[layer] = full[n - hi[0] : n - lo[0], n - hi[1] : n - lo[1]].copy()
-        return out
+        if frame_transform is None or not out:
+            return out
+        # world (map-frame) coordinates of the extracted window: output row k
+        # corresponds to internal row hi[0]-1-k (see flip note above)
+        xs = c[0] + (hi[0] - 1 - np.arange(hi[0] - lo[0]) - n / 2.0 + 0.5) * res
+        ys = c[1] + (hi[1] - 1 - np.arange(hi[1] - lo[1]) - n / 2.0 + 0.5) * res
+        return _transform_submap(out, xs, ys, height_layer, Rf, tf, res)
 
     def clear_map(self) -> None:
         self.mapper.clear()

@@ -302,3 +302,127 @@ def test_pointcloud_sensor_node(rng):
     out = np.zeros((cfg.cell_n - 2, cfg.cell_n - 2), np.float32)
     svc.mapper.get_map_with_name_ref("feat_0", out)
     assert np.abs(out).sum() > 0
+
+
+def test_get_submap_identity_transform_matches(rng):
+    """frame_transform = identity must reproduce the map-frame submap (up to
+    the forward-splat regridding, which is exact for an axis-aligned
+    identity transform)."""
+    svc = MappingService(CFG)
+    pts = rng.uniform(-0.9, 0.9, (900, 3)).astype(np.float32)
+    pts[:, 2] = 0.1 * np.sign(pts[:, 0])  # step along x
+    svc.enqueue(SensorFrame(kind="pointcloud", channels=("x", "y", "z"), data=pts,
+                            R=np.eye(3, dtype=np.float32),
+                            t=np.array([0, 0, 0.5], np.float32)))
+    svc.spin_once(now=1.0)
+    plain = svc.get_submap(np.zeros(2), (1.0, 1.0), ["elevation"])["elevation"]
+    ident = svc.get_submap(np.zeros(2), (1.0, 1.0), ["elevation"],
+                           frame_transform=(np.eye(3), np.zeros(3)))["elevation"]
+    assert ident.shape == plain.shape
+    both = np.isfinite(plain) & np.isfinite(ident)
+    assert both.sum() > 10
+    np.testing.assert_allclose(ident[both], plain[both], atol=1e-5)
+
+
+def test_get_submap_rotated_frame(rng):
+    """90-deg-yaw request frame: the x-step terrain must appear as a y-step
+    in the returned grid, and the transform's z offset must shift heights
+    (reference: request frame transform + getTransformedMap,
+    elevation_mapping_ros.cpp:507-553)."""
+    svc = MappingService(CFG)
+    pts = rng.uniform(-0.9, 0.9, (4000, 3)).astype(np.float32)
+    pts[:, 2] = np.where(pts[:, 0] > 0, 0.2, 0.0).astype(np.float32)
+    svc.enqueue(SensorFrame(kind="pointcloud", channels=("x", "y", "z"), data=pts,
+                            R=np.eye(3, dtype=np.float32),
+                            t=np.array([0, 0, 0.5], np.float32)))
+    svc.spin_once(now=1.0)
+    # request frame = map frame yawed by +90deg and lifted by 1 m:
+    # q = R p + t with R = Rz(90), t = (0, 0, 1)
+    c, s = 0.0, 1.0
+    Rf = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float64)
+    tf = np.array([0.0, 0.0, 1.0])
+    sub = svc.get_submap(np.zeros(2), (1.2, 1.2), ["elevation"],
+                         frame_transform=(Rf, tf))["elevation"]
+    ok = np.isfinite(sub)
+    assert ok.sum() > 50
+    # map +x (high side) maps to request +y; exported col 0 = max y, so the
+    # high step must sit in the low-index columns
+    nx, ny = sub.shape
+    left = np.nanmean(sub[:, : ny // 3])
+    right = np.nanmean(sub[:, -ny // 3 :])
+    assert left > right + 0.1
+    # z offset applied: terrain at world z 0.5/0.7 (sensor t_z=0.5) + 1.0
+    assert 1.4 < np.nanmin(sub) < np.nanmax(sub) < 1.75
+
+
+def test_config_driven_two_sensor_setup(tmp_path, rng):
+    """subscribers: YAML block wires two sensors (pointcloud with a semantic
+    channel + rgb image) with distinct per-channel fusions
+    (elevation_mapping_ros.cpp:77-152)."""
+    yaml_text = """
+resolution: 0.1
+map_length: 2.0
+max_ray_length: 0.5
+max_points: 1024
+semantic_layers: [grass, rgb]
+pointcloud_channel_fusions:
+  default: class_average
+image_channel_fusions:
+  rgb: color
+  default: exponential
+update_variance_fps: 2.0
+time_interval: 0.5
+subscribers:
+  front_lidar:
+    topic_name: /lidar/points
+    data_type: pointcloud
+    channels: [grass]
+  color_cam:
+    topic_name: /camera/rgb/image_raw
+    camera_info_topic_name: /camera/depth/camera_info
+    data_type: image
+publishers:
+  elevation_map_raw:
+    layers: [elevation, rgb, grass]
+    basic_layers: [elevation]
+    fps: 100.0
+"""
+    path = tmp_path / "setup.yaml"
+    path.write_text(yaml_text)
+    svc = MappingService.from_config(str(path))
+    assert set(svc.subscribers) == {"front_lidar", "color_cam"}
+    assert svc.subscribers["front_lidar"].channels == ("x", "y", "z", "grass")
+    assert svc.subscribers["color_cam"].channels == ("rgb",)
+    assert svc._variance_period == 0.5 and svc._time_period == 0.5
+
+    # pointcloud with a semantic channel, channels defaulted from the config
+    pts = rng.uniform(-0.9, 0.9, (800, 4)).astype(np.float32)
+    pts[:, 2] = rng.uniform(-0.05, 0.05, 800)
+    pts[:, 3] = 0.8  # grass score
+    assert svc.enqueue(SensorFrame(
+        kind="pointcloud", channels=(), data=pts,
+        R=np.eye(3, dtype=np.float32), t=np.array([0, 0, 0.5], np.float32),
+    ), subscriber="front_lidar")
+
+    # rgb image through the image subscriber
+    H, W = 24, 24
+    img = np.zeros((3, H, W), np.float32)
+    img[1] = 200.0  # green
+    K = np.array([[20, 0, W / 2], [0, 20, H / 2], [0, 0, 1]], np.float32)
+    frame = SensorFrame(
+        kind="image", channels=(), data=img,
+        R=np.eye(3, dtype=np.float32), t=np.array([0, 0, 1.0], np.float32),
+        K=K, D=np.zeros(5, np.float32),
+    )
+    assert svc.enqueue(frame, subscriber="color_cam")
+    # kind mismatch against the configured data_type is dropped
+    assert not svc.enqueue(frame, subscriber="front_lidar")
+    assert svc.stats.frames_dropped == 1
+
+    assert svc.spin_once(now=1.0) == 2
+    published = {}
+    svc.set_publisher_callback("elevation_map_raw", published.update)
+    svc.spin_once(now=2.0)
+    assert "grass" in published and "rgb" in published
+    grass = published["grass"]
+    assert np.nanmax(grass) > 0.3  # class_average pulled toward 0.8
