@@ -35,6 +35,13 @@ USE_MXU_SCATTER: Optional[bool] = (
     else os.environ["ELEV_TPU_MXU_SCATTER"] == "1"
 )
 
+# Trace-time spatial-sharding override: (mesh, axis_name) set by
+# parallel.sharded_scatter.sharded_scatter_ctx. When set, every
+# scatter_add_streams_2d call whose row count divides the mesh axis routes
+# through the shard-local per-block path (each shard scatters only its own
+# points via the MXU kernel on its VMEM-sized row block).
+_SPATIAL_SHARDING = None
+
 
 def _mxu_forced() -> Optional[bool]:
     """Explicit override (env/test); None means resolve per lowering platform."""
@@ -88,7 +95,31 @@ def scatter_add_streams_2d(
     lowering time, so a program traced under a TPU default backend but
     lowered for CPU devices (e.g. the multi-chip CPU dry run) still gets
     the XLA path. ELEV_TPU_MXU_SCATTER=0/1 forces one branch.
+
+    Under an active ``sharded_scatter_ctx`` (spatially-sharded maps), the
+    call is dispatched shard-locally instead: each mesh shard scatters the
+    points it owns onto its own row block (parallel/sharded_scatter.py).
     """
+    if _SPATIAL_SHARDING is not None:
+        mesh, axis_name = _SPATIAL_SHARDING
+        from ..parallel.sharded_scatter import sharded_scatter_add_streams_2d
+
+        return sharded_scatter_add_streams_2d(
+            h, w, flat_idx, values, mask, tuple(exact), mesh, axis_name
+        )
+    return _scatter_add_streams_2d_local(h, w, flat_idx, values, mask, exact)
+
+
+def _scatter_add_streams_2d_local(
+    h: int,
+    w: int,
+    flat_idx: jax.Array,
+    values: Sequence[jax.Array],
+    mask: jax.Array,
+    exact: Tuple[bool, ...],
+) -> jax.Array:
+    """Single-device (or single-shard) scatter body; see
+    scatter_add_streams_2d for semantics."""
 
     def _pallas(flat_idx, mask, *values):
         from .pallas_scatter import mxu_scatter_add_2d

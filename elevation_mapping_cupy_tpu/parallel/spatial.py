@@ -60,16 +60,22 @@ def spatial_update_pointcloud(mesh: Mesh, cfg: MapConfig, axis: str = "x"):
     rep = NamedSharding(mesh, P())
 
     def sharded_step(state, points, pad_mask, R, t, pn, on, weights):
-        state = state._replace(
-            layers=jax.lax.with_sharding_constraint(state.layers, row),
-            normal=jax.lax.with_sharding_constraint(state.normal, row),
-        )
-        out = core._update_impl(
-            state, points, pad_mask, R, t, pn, on, weights, cfg, ()
-        )
-        return out._replace(
-            layers=jax.lax.with_sharding_constraint(out.layers, row),
-            normal=jax.lax.with_sharding_constraint(out.normal, row),
-        )
+        # the body runs at trace time, so the context routes every
+        # map-shaped scatter through the shard-local MXU path (each shard
+        # scatters only the points it owns onto its VMEM-sized row block)
+        from .sharded_scatter import sharded_scatter_ctx
+
+        with sharded_scatter_ctx(mesh, axis):
+            state = state._replace(
+                layers=jax.lax.with_sharding_constraint(state.layers, row),
+                normal=jax.lax.with_sharding_constraint(state.normal, row),
+            )
+            out = core._update_impl(
+                state, points, pad_mask, R, t, pn, on, weights, cfg, ()
+            )
+            return out._replace(
+                layers=jax.lax.with_sharding_constraint(out.layers, row),
+                normal=jax.lax.with_sharding_constraint(out.normal, row),
+            )
 
     return jax.jit(sharded_step)

@@ -181,3 +181,63 @@ def test_sharded_checkpoint_roundtrip(tmp_path, rng):
     # restore without a template also round-trips values
     back2 = ckpt.restore(path)
     np.testing.assert_array_equal(np.asarray(out.layers), np.asarray(back2.layers))
+
+
+def test_sharded_scatter_matches_local(rng):
+    """Shard-local scatter == single-device scatter, including the row-pad
+    path (h=1026 over 8 shards pads to 1032 and slices back)."""
+    from elevation_mapping_cupy_tpu.ops import scatter as sc
+    from elevation_mapping_cupy_tpu.parallel.sharded_scatter import (
+        sharded_scatter_add_streams_2d,
+    )
+
+    mesh = make_mesh((8,), ("x",))
+    for h, w in ((1024, 1024), (1026, 1026)):
+        n = 4096
+        idx = rng.integers(0, h * w, n).astype(np.int32)
+        mask = rng.random(n) < 0.9
+        vals = [rng.normal(0, 1, n).astype(np.float32),
+                rng.integers(0, 2, n).astype(np.float32)]
+        exact = (False, True)
+        ref = sc._scatter_add_streams_2d_local(
+            h, w, jnp.asarray(idx), [jnp.asarray(v) for v in vals],
+            jnp.asarray(mask), exact)
+        out = sharded_scatter_add_streams_2d(
+            h, w, jnp.asarray(idx), [jnp.asarray(v) for v in vals],
+            jnp.asarray(mask), exact, mesh, "x")
+        assert out.shape == (2, h, w)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_spatial_sharding_matches_unsharded_1024(rng):
+    """Full update step at a 1024x1024 map (the scale where the unsharded
+    MXU kernel stops fitting VMEM): shard-local scatter path == single
+    device (VERDICT r1 item 5 done-when)."""
+    from elevation_mapping_cupy_tpu.parallel.spatial import (
+        shard_state_spatial, spatial_update_pointcloud,
+    )
+    from elevation_mapping_cupy_tpu import init_state
+
+    cfg = MapConfig(resolution=0.1, map_length=102.2, max_ray_length=0.5,
+                    max_points=8192)
+    assert cfg.cell_n == 1024
+    mesh = make_mesh((8,), ("x",))
+    w = default_weights()
+    pts = rng.uniform(-50, 50, (8192, 3)).astype(np.float32)
+    pts[:, 2] = rng.uniform(-0.1, 0.3, 8192).astype(np.float32)
+    mask = np.ones(8192, bool)
+    R = np.eye(3, dtype=np.float32)
+    t = np.array([0, 0, 0.5], np.float32)
+
+    ref = core.update_pointcloud(
+        init_state(cfg), jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(R),
+        jnp.asarray(t), jnp.float32(0), jnp.float32(0), w, cfg,
+    )
+    step = spatial_update_pointcloud(mesh, cfg, "x")
+    state = shard_state_spatial(init_state(cfg), mesh, "x")
+    out = step(state, jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(R),
+               jnp.asarray(t), jnp.float32(0), jnp.float32(0), w)
+    jax.block_until_ready(out)
+    assert len(out.layers.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(out.layers), np.asarray(ref.layers),
+                               atol=1e-5)
