@@ -8,8 +8,9 @@ target of 1M points/s/chip (the reference repo publishes no numbers).
 Prints ONE JSON line:
   {"metric": "points/s/chip", "value": N, "unit": "points/s", "vs_baseline": N}
 
-Env knobs: BENCH_POINTS, BENCH_ITERS, BENCH_MODE=points|maps|mem|planeseg|scaling (maps = batched
-multi-environment maps/s with procedural terrain + simulated sensors).
+Env knobs: BENCH_POINTS, BENCH_ITERS, BENCH_MODE=points|maps|mem|planeseg|scaling|spatial
+(maps = batched multi-environment maps/s with procedural terrain + simulated
+sensors; spatial = shard-local MXU scatter vs XLA fallback at 1024^2).
 """
 
 import json
@@ -147,6 +148,112 @@ def bench_scaling() -> None:
     }))
 
 
+def bench_spatial() -> None:
+    """Shard-local MXU scatter vs the XLA fallback at a 1024x1024 map.
+
+    Maps beyond the VMEM-fit bound can't run the whole-map-in-VMEM Pallas
+    kernel, so the unsharded path falls back to XLA's serialized scatter
+    (ops/scatter.py VMEM guard; VERDICT r1 item 5). Under spatial sharding
+    each of n chips runs the Pallas MXU scatter on its own (h/n, w) row
+    block with points masked to its rows — an exact partition, zero
+    collectives in the scatter (parallel/sharded_scatter.py). Only one chip
+    is reachable from this harness, so the "sharded" number is the measured
+    per-shard block program: ownership mask + local MXU scatter on
+    (h/n, w) — exactly what every chip executes concurrently in
+    deployment. The baseline is the XLA full-map scatter the same update
+    would otherwise serialize on every chip. Stream set mirrors
+    point_fusion's (4 streams, mixed exact flags, ops/pointcloud.py:162).
+    Correctness (sharded == unsharded full update at 1024^2) is pinned by
+    tests/test_parallel.py::test_spatial_sharding_matches_unsharded_1024.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from elevation_mapping_cupy_tpu.ops import scatter as sc
+
+    h = w = int(os.environ.get("BENCH_MAP", 1024))
+    n_shards = int(os.environ.get("BENCH_SHARDS", 8))
+    n_points = int(os.environ.get("BENCH_POINTS", 1_000_000))
+    iters = int(os.environ.get("BENCH_ITERS", 20))
+    h_loc = h // n_shards
+    exact = (False, False, True, True)
+
+    rng = np.random.default_rng(0)
+    flat_idx = jnp.asarray(rng.integers(0, h * w, n_points).astype(np.int32))
+    mask = jnp.asarray(rng.random(n_points) < 0.95)
+    values = [jnp.asarray(rng.normal(0, 1, n_points).astype(np.float32))
+              for _ in range(2)]
+    values += [jnp.asarray(rng.integers(0, 2, n_points).astype(np.float32))
+               for _ in range(2)]
+
+    @jax.jit
+    def xla_full(flat_idx, mask, *values):
+        # force the XLA branch: what the unsharded update runs at this size
+        prev = sc.USE_MXU_SCATTER
+        sc.USE_MXU_SCATTER = False
+        try:
+            return sc._scatter_add_streams_2d_local(
+                h, w, flat_idx, values, mask, exact)
+        finally:
+            sc.USE_MXU_SCATTER = prev
+
+    @jax.jit
+    def shard_block(flat_idx, mask, *values):
+        # per-shard program (shard 0's block; all blocks are isomorphic):
+        # ownership binning + MXU scatter on the (h/n, w) row block
+        row = flat_idx // w
+        own = mask & (row < h_loc)
+        local_idx = jnp.where(own, flat_idx, 0)
+        return sc._scatter_add_streams_2d_local(
+            h_loc, w, local_idx, values, own, exact)
+
+    def time_fn(fn):
+        # scalar fetch: on the tunneled backend block_until_ready can
+        # return before execution finishes (see main()); subtract the
+        # dispatch+fetch floor measured on a trivial program below
+        _ = float(jnp.sum(fn(flat_idx, mask, *values)))
+        lat = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            _ = float(jnp.sum(fn(flat_idx, mask, *values)))
+            lat.append(time.perf_counter() - t0)
+        return float(np.median(lat))
+
+    triv = jax.jit(lambda v: v + 1.0)
+    _ = float(triv(jnp.float32(0.0)))
+    floor_lat = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        _ = float(triv(jnp.float32(0.0)))
+        floor_lat.append(time.perf_counter() - t0)
+    floor = float(np.median(floor_lat))
+
+    t_xla = time_fn(xla_full)
+    t_shard = time_fn(shard_block)
+    # compare compute time: both measurements carry the same tunnel
+    # dispatch+fetch floor, which would mask the kernel-time ratio
+    speedup = max(t_xla - floor, 1e-9) / max(t_shard - floor, 1e-9)
+    print(json.dumps({
+        "metric": f"sharded-scatter speedup over XLA fallback ({h}x{w}, "
+                  f"{n_shards}-way row shards)",
+        "value": round(speedup, 2),
+        "unit": "x (per-chip step time ratio; >2 = VERDICT item-5 target met)",
+        "vs_baseline": round(speedup / 2.0, 3),
+        "extra": {
+            "points": n_points,
+            "streams": len(values),
+            "xla_full_map_s": round(t_xla, 4),
+            "per_shard_block_s": round(t_shard, 4),
+            "host_sync_floor_s": round(floor, 4),
+            "note": "one reachable chip: per-shard block program measured "
+                    "directly (all shards run it concurrently; the scatter "
+                    "needs zero collectives — ownership is an exact "
+                    "partition)",
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
 def bench_mem() -> None:
     """MEM multi-modal fusion (BASELINE config #3): geometric update + RGB
     color fusion + two class_average semantic channels from one multi-modal
@@ -212,6 +319,14 @@ def bench_planeseg() -> None:
     its ROS node prints at shutdown (ConvexPlaneDecompositionRos.cpp:28-48).
     vs_baseline compares against a 50 ms budget (a 20 Hz map stream — the
     reference pipeline runs at map-publish rate on a robot CPU).
+
+    Placement study (VERDICT r1 item 10): a single map on the tunneled TPU
+    pays a ~30-40 ms dispatch+fetch round-trip per update, so per-map the
+    host-CPU JAX backend wins. The batched path (update_batch, one vmapped
+    dispatch for B maps) amortizes the round-trip; this bench measures
+    per-map time for (a) single-map default backend, (b) single-map host
+    CPU, (c) batched default backend at B maps, and reports the placement
+    verdict in extras.
     """
     import jax
     import numpy as np
@@ -219,6 +334,7 @@ def bench_planeseg() -> None:
     from elevation_mapping_cupy_tpu.planeseg.pipeline import PlaneDecompositionPipeline
 
     iters = int(os.environ.get("BENCH_ITERS", 10))
+    B = int(os.environ.get("BENCH_BATCH", 16))
     n = 202
     rng = np.random.default_rng(0)
     h = np.zeros((n, n), np.float32)
@@ -233,6 +349,29 @@ def bench_planeseg() -> None:
     for _ in range(iters):
         terr = pipe.update(h)
     total_ms = 1e3 * float(np.median(np.asarray(pipe._stats["total"])))
+
+    # (c) batched on the default backend: B distinct maps, one dispatch
+    hb = np.stack([h] * B)
+    hb += rng.normal(0, 0.002, hb.shape).astype(np.float32)
+    pipe.update_batch(hb)                    # compile
+    batch_lat = []
+    for _ in range(max(iters // 2, 3)):
+        t0 = time.perf_counter()
+        terrs = pipe.update_batch(hb)
+        batch_lat.append(time.perf_counter() - t0)
+    batch_per_map_ms = 1e3 * float(np.median(batch_lat)) / B
+
+    # (b) single map on the host-CPU JAX backend (the reference placement:
+    # a robot-CPU node); jit follows input placement
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        pipe_cpu = PlaneDecompositionPipeline(resolution=0.04)
+        pipe_cpu.update(h)                   # compile
+        pipe_cpu._stats = {}
+        for _ in range(iters):
+            pipe_cpu.update(h)
+    cpu_ms = 1e3 * float(np.median(np.asarray(pipe_cpu._stats["total"])))
+
     print(json.dumps({
         "metric": "plane decomposition total (202x202)",
         "value": round(total_ms, 2),
@@ -242,6 +381,14 @@ def bench_planeseg() -> None:
             "regions": len(terr.regions),
             "stage_ms": {k: round(1e3 * float(np.median(np.asarray(v))), 2)
                          for k, v in pipe._stats.items()},
+            "host_cpu_single_map_ms": round(cpu_ms, 2),
+            "batched_per_map_ms": round(batch_per_map_ms, 2),
+            "batch": B,
+            "placement": (
+                "batched TPU (update_batch) beats per-map host CPU"
+                if batch_per_map_ms < cpu_ms else
+                "host CPU remains the single-map placement; batch to amortize"
+            ),
             "device": str(jax.devices()[0]),
         },
     }))
@@ -257,6 +404,9 @@ def main() -> None:
         return
     if mode == "mem":
         bench_mem()
+        return
+    if mode == "spatial":
+        bench_spatial()
         return
 
     import jax

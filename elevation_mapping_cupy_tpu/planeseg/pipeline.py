@@ -80,28 +80,73 @@ class PlaneDecompositionPipeline:
             lines.append(f"{k:<16} {a.mean():8.2f} {a.max():9.2f} {len(a):4d}")
         return "\n".join(lines)
 
+    def _ransac_refine(
+        self, labels, hnp, normals_np,
+        plane_normals, plane_support, plane_valid,
+        needs_refine, res, origin,
+    ):
+        """Host RANSAC re-segmentation of labels that failed the global
+        planarity gate (Pipeline.cpp's RANSAC branch). Mutates the label
+        image in place; may grow the plane tables. Shared by update() and
+        update_batch()."""
+        normals_np = np.moveaxis(normals_np, 0, -1)
+        next_label = int(labels.max()) + 1
+        rows, cols = np.indices(labels.shape)
+        px = origin[0] - rows * res
+        py = origin[1] - cols * res
+        for lab in np.where(needs_refine)[0]:
+            member = labels == lab
+            labels[member] = 0
+            pts = np.stack([px[member], py[member], hnp[member]], axis=-1)
+            nrms = normals_np[member]
+            planes = detect_planes(pts, nrms, self.ransac, seed=0)
+            flat_member = np.where(member.reshape(-1))[0]
+            reuse = True
+            for normal, support, idxs in planes:
+                if normal[2] <= self.params.plane_inclination_threshold:
+                    continue
+                newlab = lab if reuse else next_label
+                if not reuse:
+                    next_label += 1
+                reuse = False
+                if newlab >= len(plane_normals):
+                    plane_normals = np.vstack([plane_normals, normal[None]])
+                    plane_support = np.vstack([plane_support, support[None]])
+                    plane_valid = np.append(plane_valid, True)
+                else:
+                    plane_normals[newlab] = normal
+                    plane_support[newlab] = support
+                    plane_valid[newlab] = True
+                fl = flat_member[idxs]
+                labels.reshape(-1)[fl] = newlab
+        return labels, plane_normals, plane_support, plane_valid
+
+    def _resample_target(self, shape, map_origin):
+        """Resolve the (out_shape, true resolution, post-resample origin) of
+        the optional changeResolution stage (GridMapPreprocessing.cpp:25-31;
+        grid_map keeps the map CENTER fixed across resample)."""
+        target = self.preprocessing.resolution
+        res = self.resolution
+        origin = (float(map_origin[0]), float(map_origin[1]))
+        if target <= 0.0 or abs(self.resolution - target) < 1e-6:
+            return None, res, origin
+        out_shape = resample_shape(shape, self.resolution, target)
+        res = true_resolution(shape, self.resolution, out_shape)
+        origin = tuple(
+            origin[a]
+            - (shape[a] - 1) / 2.0 * self.resolution
+            + (out_shape[a] - 1) / 2.0 * res
+            for a in (0, 1)
+        )
+        return out_shape, res, origin
+
     def update(self, height: np.ndarray, map_origin=(0.0, 0.0)) -> PlanarTerrain:
         timings = {}
         height = np.asarray(height, np.float32)
 
         # resample target (GridMapPreprocessing::changeResolution,
         # GridMapPreprocessing.cpp:25-31): skip if negative or within 1e-6
-        target = self.preprocessing.resolution
-        out_shape = None
-        res = self.resolution
-        origin = (float(map_origin[0]), float(map_origin[1]))
-        if target > 0.0 and abs(self.resolution - target) >= 1e-6:
-            out_shape = resample_shape(height.shape, self.resolution, target)
-            res = true_resolution(height.shape, self.resolution, out_shape)
-            # grid_map keeps the map CENTER fixed across resample
-            # (inpainting.cpp:284 setGeometry with oldPos); origin is the
-            # world position of cell (0,0), world decreasing with index
-            origin = tuple(
-                origin[a]
-                - (height.shape[a] - 1) / 2.0 * self.resolution
-                + (out_shape[a] - 1) / 2.0 * res
-                for a in (0, 1)
-            )
+        out_shape, res, origin = self._resample_target(height.shape, map_origin)
 
         # preprocess + sliding-window extraction run as ONE jitted dispatch,
         # and everything the host stages need comes back in a single batched
@@ -144,36 +189,11 @@ class PlaneDecompositionPipeline:
         t0 = time.perf_counter()
         if self.params.include_ransac_refinement and needs_refine.any():
             hnp, normals_np = jax.device_get((h, ext.normals))
-            normals_np = np.moveaxis(normals_np, 0, -1)
-            next_label = int(labels.max()) + 1
-            rows, cols = np.indices(labels.shape)
-            px = origin[0] - rows * res
-            py = origin[1] - cols * res
-            for lab in np.where(needs_refine)[0]:
-                member = labels == lab
-                labels[member] = 0
-                pts = np.stack([px[member], py[member], hnp[member]], axis=-1)
-                nrms = normals_np[member]
-                planes = detect_planes(pts, nrms, self.ransac, seed=0)
-                flat_member = np.where(member.reshape(-1))[0]
-                reuse = True
-                for normal, support, idxs in planes:
-                    if normal[2] <= self.params.plane_inclination_threshold:
-                        continue
-                    newlab = lab if reuse else next_label
-                    if not reuse:
-                        next_label += 1
-                    reuse = False
-                    if newlab >= len(plane_normals):
-                        plane_normals = np.vstack([plane_normals, normal[None]])
-                        plane_support = np.vstack([plane_support, support[None]])
-                        plane_valid = np.append(plane_valid, True)
-                    else:
-                        plane_normals[newlab] = normal
-                        plane_support[newlab] = support
-                        plane_valid[newlab] = True
-                    fl = flat_member[idxs]
-                    labels.reshape(-1)[fl] = newlab
+            labels, plane_normals, plane_support, plane_valid = self._ransac_refine(
+                labels, np.asarray(hnp), np.asarray(normals_np),
+                plane_normals, plane_support, plane_valid,
+                needs_refine, res, origin,
+            )
         timings["ransac"] = time.perf_counter() - t0
         self._record("ransac", timings["ransac"])
 
@@ -218,6 +238,114 @@ class PlaneDecompositionPipeline:
             map_origin=origin,
             timings=timings,
         )
+
+    def update_batch(
+        self, heights: np.ndarray, map_origins: Optional[np.ndarray] = None
+    ) -> List[PlanarTerrain]:
+        """Decompose B height maps in one device round-trip.
+
+        The per-update cost of :meth:`update` on remote/tunneled TPU
+        backends is dominated by the dispatch+fetch round-trip (~30-40 ms);
+        batching runs ONE vmapped preprocess+extraction dispatch and ONE
+        vmapped postprocess dispatch for all B maps, with the host stages
+        (RANSAC refinement, contour extraction) looped per map while the
+        device postprocess is in flight. This is the multi-env (simulation
+        / fleet) operating mode; the reference runs one decomposition node
+        per robot and has no analogue. Semantics per map are identical to
+        :meth:`update` (tests/test_planeseg.py pins batch == sequential).
+        """
+        from .extract import batched_preprocess_and_extract
+
+        heights = np.asarray(heights, np.float32)
+        B = heights.shape[0]
+        if map_origins is None:
+            map_origins = np.zeros((B, 2), np.float32)
+
+        out_shape, res, _ = self._resample_target(heights.shape[1:], (0.0, 0.0))
+        origins = [
+            self._resample_target(heights.shape[1:], map_origins[b])[2]
+            for b in range(B)
+        ]
+
+        t0 = time.perf_counter()
+        hs, ext = batched_preprocess_and_extract(
+            jnp.asarray(heights),
+            res,
+            self.params,
+            jnp.asarray(np.asarray(origins, np.float32)),
+            kernel_size=self.preprocessing.kernel_size,
+            median_passes=self.preprocessing.number_of_repeats,
+            out_shape=out_shape,
+        )
+        labels, plane_normals, plane_support, plane_valid, needs_refine = (
+            jax.device_get(
+                (
+                    ext.labels.astype(jnp.int16),
+                    ext.plane_normals,
+                    ext.plane_support,
+                    ext.plane_valid,
+                    ext.needs_refine,
+                )
+            )
+        )
+        labels = np.array(labels, dtype=np.int32)
+        self._record("sliding_window_batch", time.perf_counter() - t0)
+
+        t0 = time.perf_counter()
+        refine_any = self.params.include_ransac_refinement and needs_refine.any()
+        if refine_any:
+            hnp_all, normals_all = map(np.asarray, jax.device_get((hs, ext.normals)))
+        tables = []
+        for b in range(B):
+            pn = np.array(plane_normals[b])
+            ps = np.array(plane_support[b])
+            pv = np.array(plane_valid[b])
+            if refine_any and needs_refine[b].any():
+                labels[b], pn, ps, pv = self._ransac_refine(
+                    labels[b], hnp_all[b], normals_all[b],
+                    pn, ps, pv, needs_refine[b], res, origins[b],
+                )
+            tables.append((pn, ps, pv))
+        self._record("ransac_batch", time.perf_counter() - t0)
+
+        # one vmapped postprocess dispatch; host contours overlap it
+        masks = (labels > 0).astype(np.float32)
+        elev_dev, smooth_dev = jax.vmap(
+            lambda h, m: postprocess(h, m, res, self.postprocessing)
+        )(hs, jnp.asarray(masks))
+
+        t0 = time.perf_counter()
+        z_off = self.postprocessing.extracted_planes_height_offset
+        regions_all = []
+        for b in range(B):
+            pn, ps, pv = tables[b]
+            regions = extract_boundaries(labels[b], pn, ps, pv, res, origins[b])
+            if z_off != 0.0:
+                for r in regions:
+                    r.support[2] += z_off
+            regions_all.append(regions)
+        self._record("contour_batch", time.perf_counter() - t0)
+
+        t0 = time.perf_counter()
+        filtered_np, elev_np, smooth_np = map(
+            np.asarray, jax.device_get((hs, elev_dev, smooth_dev))
+        )
+        self._record("postprocess_batch", time.perf_counter() - t0)
+
+        return [
+            PlanarTerrain(
+                regions=regions_all[b],
+                labels=labels[b],
+                filtered_map=filtered_np[b],
+                elevation=elev_np[b],
+                plane_classification=masks[b],
+                smooth_planar=smooth_np[b],
+                resolution=res,
+                map_origin=origins[b],
+                timings={},
+            )
+            for b in range(B)
+        ]
 
     def convex_approximation(
         self, terrain: PlanarTerrain, query_xy: np.ndarray, n_vertices: int = 16

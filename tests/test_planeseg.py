@@ -184,3 +184,67 @@ def test_map_io_and_faults(tmp_path, rng):
     cloud = rng.uniform(-1, 1, (100, 3)).astype(np.float32)
     bad = corrupt_cloud(cloud, nan_frac=0.1, outlier_frac=0.05)
     assert np.isnan(bad[:, 0]).sum() == 10
+
+
+def test_update_batch_matches_sequential():
+    """update_batch (one vmapped dispatch for B maps) produces the same
+    labels/regions/layers as per-map update(), including a map that takes
+    the RANSAC refinement path and a non-zero world origin."""
+    n = 32
+    rng = np.random.default_rng(3)
+    maps, origins = [], []
+    h0 = two_plane_terrain().astype(np.float32)
+    maps.append(h0)
+    origins.append((0.0, 0.0))
+    h1 = np.zeros((h0.shape[0], h0.shape[1]), np.float32)
+    h1[:, : h0.shape[1] // 2] = np.linspace(0, 0.3, h0.shape[1] // 2)[None, :]
+    h1[:, h0.shape[1] // 2:] = 0.8
+    maps.append(h1)
+    origins.append((1.5, -0.75))
+    h2 = rng.normal(0, 0.001, h0.shape).astype(np.float32)
+    h2[8:20, 8:20] += 0.3
+    h2[5, 5] = np.nan
+    maps.append(h2)
+    origins.append((0.0, 0.4))
+
+    from elevation_mapping_cupy_tpu.planeseg.extract import PlaneSegParams
+
+    params = PlaneSegParams(include_ransac_refinement=True)
+    pipe = PlaneDecompositionPipeline(resolution=0.04, params=params)
+    seq = [pipe.update(m, o) for m, o in zip(maps, origins)]
+    batch = pipe.update_batch(np.stack(maps), np.asarray(origins, np.float32))
+
+    assert len(batch) == len(seq)
+    for s, b in zip(seq, batch):
+        np.testing.assert_array_equal(b.labels, s.labels)
+        np.testing.assert_allclose(b.filtered_map, s.filtered_map, atol=1e-6)
+        np.testing.assert_allclose(b.elevation, s.elevation, atol=1e-6)
+        np.testing.assert_allclose(b.smooth_planar, s.smooth_planar, atol=1e-6)
+        np.testing.assert_array_equal(b.plane_classification, s.plane_classification)
+        assert b.resolution == s.resolution
+        assert np.allclose(b.map_origin, s.map_origin)
+        assert len(b.regions) == len(s.regions)
+        for rb, rs in zip(b.regions, s.regions):
+            np.testing.assert_allclose(rb.normal, rs.normal, atol=1e-6)
+            np.testing.assert_allclose(rb.support, rs.support, atol=1e-6)
+            np.testing.assert_allclose(
+                rb.boundary_with_holes.boundary,
+                rs.boundary_with_holes.boundary, atol=1e-6,
+            )
+
+
+def test_update_batch_with_resample():
+    """Batch path honors the changeResolution stage (shared static
+    out_shape, per-map origins)."""
+    from elevation_mapping_cupy_tpu.planeseg.extract import PreprocessingParams
+
+    h = two_plane_terrain().astype(np.float32)
+    pipe = PlaneDecompositionPipeline(
+        resolution=0.04, preprocessing=PreprocessingParams(resolution=0.08)
+    )
+    seq = pipe.update(h, (0.5, 0.0))
+    batch = pipe.update_batch(h[None], np.asarray([(0.5, 0.0)], np.float32))[0]
+    assert batch.labels.shape == seq.labels.shape
+    np.testing.assert_array_equal(batch.labels, seq.labels)
+    np.testing.assert_allclose(batch.smooth_planar, seq.smooth_planar, atol=1e-6)
+    assert np.allclose(batch.map_origin, seq.map_origin)
