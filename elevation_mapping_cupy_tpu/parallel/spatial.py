@@ -38,6 +38,13 @@ def spatial_sharding(mesh: Mesh, axis: str = "x") -> NamedSharding:
 def shard_state_spatial(state: MapState, mesh: Mesh, axis: str = "x") -> MapState:
     """Place one (unbatched) map state with its row axis over the mesh;
     small per-map scalars stay replicated."""
+    n = mesh.shape[axis]
+    if state.layers.shape[1] % n:
+        raise ValueError(
+            f"spatial sharding needs the map row count ({state.layers.shape[1]}"
+            f" = cell_n) divisible by the mesh axis ({n}); pick map_length so "
+            f"round(map_length/resolution)+2 is a multiple of {n}"
+        )
     row = NamedSharding(mesh, P(None, axis, None))
     rep = NamedSharding(mesh, P())
 
