@@ -39,9 +39,9 @@ def init_batch(cfg: MapConfig, batch: int) -> MapState:
     return jax.tree.map(lambda x: jnp.broadcast_to(x, (batch,) + x.shape).copy(), one)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=0)
 def batched_update(
-    states: MapState,            # (B, ...) pytree
+    states: MapState,            # (B, ...) pytree — DONATED (see below)
     points: jax.Array,           # (B, N, 3)
     pad_mask: jax.Array,         # (B, N)
     R: jax.Array,                # (B, 3, 3)
@@ -51,14 +51,23 @@ def batched_update(
     weights: TravWeights,        # shared across envs
     cfg: MapConfig,
 ) -> MapState:
+    """One vmapped update step for B independent maps.
+
+    The input state pytree is DONATED: at fleet scale (4096 envs the state
+    stack alone is ~4.7 GB) XLA reuses the buffers in place instead of
+    holding input+output live, halving state HBM. Callers must rebind
+    (``states = batched_update(states, ...)``) and not read the old value.
+    """
     fn = lambda s, p, m, r, tt, pn, on: core.update_pointcloud(
         s, p, m, r, tt, pn, on, weights, cfg
     )
     return jax.vmap(fn)(states, points, pad_mask, R, t, position_noise, orientation_noise)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=0)
 def batched_move_to(states: MapState, positions: jax.Array, Rs: jax.Array, cfg: MapConfig) -> MapState:
+    """Batched recentering; the input state stack is donated like
+    batched_update's."""
     return jax.vmap(lambda s, p, r: core.move_to(s, p, r, cfg))(states, positions, Rs)
 
 

@@ -56,15 +56,32 @@ def shard_state_spatial(state: MapState, mesh: Mesh, axis: str = "x") -> MapStat
     return jax.tree.map(put, state)
 
 
-def spatial_update_pointcloud(mesh: Mesh, cfg: MapConfig, axis: str = "x"):
+def spatial_update_pointcloud(
+    mesh: Mesh, cfg: MapConfig, axis: str = "x", channels: tuple = ()
+):
     """Build a jitted update step whose map state is row-sharded over `mesh`.
 
     Points are replicated (every shard sees the whole cloud and keeps the
     cells it owns); stencils, the traversability CNN, and recentering rolls
-    get their halo exchanges from GSPMD.
+    get their halo exchanges from GSPMD. Pass `channels` (as for
+    core.update_pointcloud_semantic, e.g. ("rgb", "grass")) to fuse MEM
+    semantic layers too — their scatters ride the same shard-local path and
+    the semantic stack stays row-sharded.
     """
     row = NamedSharding(mesh, P(None, axis, None))
     rep = NamedSharding(mesh, P())
+
+    def constrain(state):
+        out = state._replace(
+            layers=jax.lax.with_sharding_constraint(state.layers, row),
+            normal=jax.lax.with_sharding_constraint(state.normal, row),
+        )
+        if state.semantic.size:
+            out = out._replace(
+                semantic=jax.lax.with_sharding_constraint(state.semantic, row),
+                sem_new=jax.lax.with_sharding_constraint(state.sem_new, row),
+            )
+        return out
 
     def sharded_step(state, points, pad_mask, R, t, pn, on, weights):
         # the body runs at trace time, so the context routes every
@@ -73,16 +90,13 @@ def spatial_update_pointcloud(mesh: Mesh, cfg: MapConfig, axis: str = "x"):
         from .sharded_scatter import sharded_scatter_ctx
 
         with sharded_scatter_ctx(mesh, axis):
-            state = state._replace(
-                layers=jax.lax.with_sharding_constraint(state.layers, row),
-                normal=jax.lax.with_sharding_constraint(state.normal, row),
-            )
             out = core._update_impl(
-                state, points, pad_mask, R, t, pn, on, weights, cfg, ()
+                constrain(state), points, pad_mask, R, t, pn, on, weights,
+                cfg, tuple(channels),
             )
-            return out._replace(
-                layers=jax.lax.with_sharding_constraint(out.layers, row),
-                normal=jax.lax.with_sharding_constraint(out.normal, row),
-            )
+            return constrain(out)
 
-    return jax.jit(sharded_step)
+    # the sharded map state is donated: at the scales that need spatial
+    # sharding the state is the dominant HBM cost per shard, and callers
+    # step it functionally (state = step(state, ...))
+    return jax.jit(sharded_step, donate_argnums=0)

@@ -241,3 +241,51 @@ def test_spatial_sharding_matches_unsharded_1024(rng):
     assert len(out.layers.sharding.device_set) == 8
     np.testing.assert_allclose(np.asarray(out.layers), np.asarray(ref.layers),
                                atol=1e-5)
+
+
+def test_spatial_semantic_matches_unsharded(rng):
+    """Row-sharded update WITH semantic channels == single-device semantic
+    update (the MEM scatters ride the shard-local path too)."""
+    from elevation_mapping_cupy_tpu.parallel.spatial import (
+        shard_state_spatial, spatial_update_pointcloud,
+    )
+
+    channels = ("rgb", "grass")
+    cfg = MapConfig(resolution=0.1, map_length=2.2, max_ray_length=0.5,
+                    max_points=512, semantic_layers=channels)
+    assert cfg.cell_n % 8 == 0
+    mesh = make_mesh((8,), ("x",))
+    w = default_weights()
+    n = cfg.max_points
+    pts = rng.uniform(-0.9, 0.9, (n, 3 + 2)).astype(np.float32)
+    pts[:, 2] = rng.uniform(-0.1, 0.3, n).astype(np.float32)
+    rgbs = rng.integers(0, 255, (n, 3)).astype(np.uint32)
+    pts[:, 3] = ((rgbs[:, 0] << 16) | (rgbs[:, 1] << 8) | rgbs[:, 2]).view(np.float32)
+    pts[:, 4] = rng.uniform(0, 1, n).astype(np.float32)
+    mask = np.ones(n, bool)
+    R = np.eye(3, dtype=np.float32)
+    t = np.array([0, 0, 0.5], np.float32)
+
+    ref = core.update_pointcloud_semantic(
+        init_state(cfg), jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(R),
+        jnp.asarray(t), jnp.float32(0), jnp.float32(0), w, cfg, channels,
+    )
+    step = spatial_update_pointcloud(mesh, cfg, "x", channels=channels)
+    state = shard_state_spatial(init_state(cfg), mesh, "x")
+    out = step(state, jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(R),
+               jnp.asarray(t), jnp.float32(0), jnp.float32(0), w)
+    jax.block_until_ready(out)
+    assert len(out.semantic.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(out.layers), np.asarray(ref.layers),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.semantic), np.asarray(ref.semantic),
+                               atol=1e-4)
+
+
+def test_spatial_sharding_rejects_indivisible_rows():
+    from elevation_mapping_cupy_tpu.parallel.spatial import shard_state_spatial
+
+    cfg = MapConfig(resolution=0.1, map_length=2.0, max_points=64)  # cell_n=22
+    mesh = make_mesh((8,), ("x",))
+    with pytest.raises(ValueError, match="divisible"):
+        shard_state_spatial(init_state(cfg), mesh, "x")
