@@ -101,11 +101,12 @@ def scatter_add_streams_2d(
     points it owns onto its own row block (parallel/sharded_scatter.py).
     """
     if _SPATIAL_SHARDING is not None:
-        mesh, axis_name = _SPATIAL_SHARDING
+        mesh, axis_name, col_axis_name = _SPATIAL_SHARDING
         from ..parallel.sharded_scatter import sharded_scatter_add_streams_2d
 
         return sharded_scatter_add_streams_2d(
-            h, w, flat_idx, values, mask, tuple(exact), mesh, axis_name
+            h, w, flat_idx, values, mask, tuple(exact), mesh, axis_name,
+            col_axis_name,
         )
     return _scatter_add_streams_2d_local(h, w, flat_idx, values, mask, exact)
 

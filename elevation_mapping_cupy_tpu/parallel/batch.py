@@ -28,6 +28,7 @@ __all__ = [
     "init_batch",
     "batched_update",
     "batched_move_to",
+    "batched_input_image",
     "shard_states",
     "batch_stats",
 ]
@@ -69,6 +70,25 @@ def batched_move_to(states: MapState, positions: jax.Array, Rs: jax.Array, cfg: 
     """Batched recentering; the input state stack is donated like
     batched_update's."""
     return jax.vmap(lambda s, p, r: core.move_to(s, p, r, cfg))(states, positions, Rs)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "channels"), donate_argnums=0)
+def batched_input_image(
+    states: MapState,            # (B, ...) pytree — DONATED
+    images: jax.Array,           # (B, C_img, H_i, W_i)
+    R: jax.Array,                # (B, 3, 3) camera optical rotations
+    t: jax.Array,                # (B, 3)
+    K: jax.Array,                # (B, 3, 3) intrinsics
+    D: jax.Array,                # (B, 5) radtan distortion
+    cfg: MapConfig,
+    channels: tuple,             # static semantic channel names
+) -> MapState:
+    """Fuse one camera image per env into its semantic layers — the vmapped
+    core.input_image (projection, Bresenham occlusion, per-channel image
+    fusions run across all envs as one program). States donated like
+    batched_update's."""
+    fn = lambda s, im, r, tt, k, d: core.input_image(s, im, r, tt, k, d, cfg, channels)
+    return jax.vmap(fn)(states, images, R, t, K, D)
 
 
 def shard_states(states: MapState, mesh: Mesh, axis: str = "env") -> MapState:

@@ -57,38 +57,50 @@ def sharded_scatter_add_streams_2d(
     exact: Tuple[bool, ...],
     mesh: Mesh,
     axis_name: str = "x",
+    col_axis_name: str = None,
 ) -> jax.Array:
-    """Scatter K per-point streams into a row-sharded (h, w) grid.
+    """Scatter K per-point streams into a mesh-sharded (h, w) grid.
 
     Equivalent to ``ops.scatter.scatter_add_streams_2d`` (returns
-    (K, h, w), row axis sharded P(None, axis_name, None)) but each shard
-    scatters only the points whose target row falls in its block, through
-    the per-shard Pallas MXU kernel on TPU. Row counts that don't divide
-    the mesh axis are padded up (the pad rows are unreachable: indices are
-    < h) and sliced off after.
+    (K, h, w), sharded P(None, axis_name, col_axis_name)) but each shard
+    scatters only the points whose target cell falls in its block, through
+    the per-shard Pallas MXU kernel on TPU. With only ``axis_name`` the map
+    is row-sharded; with ``col_axis_name`` it is tiled over a 2D mesh —
+    the pod-scale layout, where row-only sharding degenerates to
+    slivers. Extents that don't divide a mesh axis are padded up (the pad
+    cells are unreachable: indices are < h*w) and sliced off after.
     """
     from ..ops import scatter as sc
 
-    n = mesh.shape[axis_name]
-    h_pad = ((h + n - 1) // n) * n
-    h_loc = h_pad // n
+    nr = mesh.shape[axis_name]
+    nc = mesh.shape[col_axis_name] if col_axis_name else 1
+    h_pad = ((h + nr - 1) // nr) * nr
+    w_pad = ((w + nc - 1) // nc) * nc
+    h_loc = h_pad // nr
+    w_loc = w_pad // nc
 
     def block(flat_idx, mask, *values):
         i = jax.lax.axis_index(axis_name)
+        j = jax.lax.axis_index(col_axis_name) if col_axis_name else 0
         row = flat_idx // w
-        own = mask & (row >= i * h_loc) & (row < (i + 1) * h_loc)
-        local_idx = (row - i * h_loc) * w + flat_idx % w
+        col = flat_idx % w
+        own = (
+            mask
+            & (row >= i * h_loc) & (row < (i + 1) * h_loc)
+            & (col >= j * w_loc) & (col < (j + 1) * w_loc)
+        )
+        local_idx = (row - i * h_loc) * w_loc + (col - j * w_loc)
         # the non-routing body: platform dispatch (MXU on TPU / XLA
         # elsewhere) and the VMEM-fit guard apply to the per-shard block
         # size; calling the public router here would recurse
         return sc._scatter_add_streams_2d_local(
-            h_loc, w, jnp.where(own, local_idx, 0), values, own, exact
+            h_loc, w_loc, jnp.where(own, local_idx, 0), values, own, exact
         )
 
     specs = dict(
         mesh=mesh,
         in_specs=(P(), P()) + tuple(P() for _ in values),
-        out_specs=P(None, axis_name, None),
+        out_specs=P(None, axis_name, col_axis_name),
     )
     try:
         # pallas_call can't declare its output's varying-over-mesh axes, so
@@ -97,18 +109,18 @@ def sharded_scatter_add_streams_2d(
     except TypeError:  # older jax: the kwarg was check_rep
         fn = _shard_map(block, check_rep=False, **specs)
     out = fn(flat_idx, mask, *values)
-    return out[:, :h, :] if h_pad != h else out
+    return out[:, :h, :w] if (h_pad, w_pad) != (h, w) else out
 
 
 @contextlib.contextmanager
-def sharded_scatter_ctx(mesh: Mesh, axis_name: str = "x"):
+def sharded_scatter_ctx(mesh: Mesh, axis_name: str = "x", col_axis_name: str = None):
     """Trace-time override: every ``scatter_add_streams_2d`` call traced
-    inside this context routes through the shard-local path (when the row
-    count divides the mesh axis). Used by ``spatial_update_pointcloud``."""
+    inside this context routes through the shard-local path. Used by
+    ``spatial_update_pointcloud`` (pass ``col_axis_name`` for 2D tiling)."""
     from ..ops import scatter as sc
 
     prev = sc._SPATIAL_SHARDING
-    sc._SPATIAL_SHARDING = (mesh, axis_name)
+    sc._SPATIAL_SHARDING = (mesh, axis_name, col_axis_name)
     try:
         yield
     finally:

@@ -30,66 +30,80 @@ from ..state import MapState
 __all__ = ["spatial_sharding", "shard_state_spatial", "spatial_update_pointcloud"]
 
 
-def spatial_sharding(mesh: Mesh, axis: str = "x") -> NamedSharding:
-    """Row sharding for (L, H, W) layer stacks."""
-    return NamedSharding(mesh, P(None, axis, None))
+def spatial_sharding(
+    mesh: Mesh, axis: str = "x", col_axis: Optional[str] = None
+) -> NamedSharding:
+    """Row (or 2D-tile) sharding for (L, H, W) layer stacks."""
+    return NamedSharding(mesh, P(None, axis, col_axis))
 
 
-def shard_state_spatial(state: MapState, mesh: Mesh, axis: str = "x") -> MapState:
-    """Place one (unbatched) map state with its row axis over the mesh;
-    small per-map scalars stay replicated."""
-    n = mesh.shape[axis]
-    if state.layers.shape[1] % n:
-        raise ValueError(
-            f"spatial sharding needs the map row count ({state.layers.shape[1]}"
-            f" = cell_n) divisible by the mesh axis ({n}); pick map_length so "
-            f"round(map_length/resolution)+2 is a multiple of {n}"
-        )
-    row = NamedSharding(mesh, P(None, axis, None))
+def shard_state_spatial(
+    state: MapState, mesh: Mesh, axis: str = "x", col_axis: Optional[str] = None
+) -> MapState:
+    """Place one (unbatched) map state with its row axis — or, with
+    ``col_axis``, both map axes — over the mesh; small per-map scalars stay
+    replicated. 2D tiling is the pod-scale layout: row-only sharding over
+    many chips degenerates to slivers whose halo rings dominate."""
+    for ax_name, dim in ((axis, 1), (col_axis, 2)):
+        if ax_name is None:
+            continue
+        n = mesh.shape[ax_name]
+        if state.layers.shape[dim] % n:
+            raise ValueError(
+                f"spatial sharding needs the map extent ({state.layers.shape[dim]}"
+                f" = cell_n) divisible by mesh axis {ax_name!r} ({n}); pick "
+                f"map_length so round(map_length/resolution)+2 is a multiple of {n}"
+            )
+    tile = NamedSharding(mesh, P(None, axis, col_axis))
     rep = NamedSharding(mesh, P())
 
     def put(x):
         if x.ndim == 3:
-            return jax.device_put(x, row)
+            return jax.device_put(x, tile)
         return jax.device_put(x, rep)
 
     return jax.tree.map(put, state)
 
 
 def spatial_update_pointcloud(
-    mesh: Mesh, cfg: MapConfig, axis: str = "x", channels: tuple = ()
+    mesh: Mesh,
+    cfg: MapConfig,
+    axis: str = "x",
+    channels: tuple = (),
+    col_axis: Optional[str] = None,
 ):
-    """Build a jitted update step whose map state is row-sharded over `mesh`.
+    """Build a jitted update step whose map state is sharded over `mesh`.
 
     Points are replicated (every shard sees the whole cloud and keeps the
     cells it owns); stencils, the traversability CNN, and recentering rolls
     get their halo exchanges from GSPMD. Pass `channels` (as for
     core.update_pointcloud_semantic, e.g. ("rgb", "grass")) to fuse MEM
     semantic layers too — their scatters ride the same shard-local path and
-    the semantic stack stays row-sharded.
+    the semantic stack stays sharded. With ``col_axis`` the map is tiled
+    over a 2D mesh (rows x cols) — the pod-scale layout.
     """
-    row = NamedSharding(mesh, P(None, axis, None))
+    tile = NamedSharding(mesh, P(None, axis, col_axis))
     rep = NamedSharding(mesh, P())
 
     def constrain(state):
         out = state._replace(
-            layers=jax.lax.with_sharding_constraint(state.layers, row),
-            normal=jax.lax.with_sharding_constraint(state.normal, row),
+            layers=jax.lax.with_sharding_constraint(state.layers, tile),
+            normal=jax.lax.with_sharding_constraint(state.normal, tile),
         )
         if state.semantic.size:
             out = out._replace(
-                semantic=jax.lax.with_sharding_constraint(state.semantic, row),
-                sem_new=jax.lax.with_sharding_constraint(state.sem_new, row),
+                semantic=jax.lax.with_sharding_constraint(state.semantic, tile),
+                sem_new=jax.lax.with_sharding_constraint(state.sem_new, tile),
             )
         return out
 
     def sharded_step(state, points, pad_mask, R, t, pn, on, weights):
         # the body runs at trace time, so the context routes every
         # map-shaped scatter through the shard-local MXU path (each shard
-        # scatters only the points it owns onto its VMEM-sized row block)
+        # scatters only the points it owns onto its VMEM-sized block)
         from .sharded_scatter import sharded_scatter_ctx
 
-        with sharded_scatter_ctx(mesh, axis):
+        with sharded_scatter_ctx(mesh, axis, col_axis):
             out = core._update_impl(
                 constrain(state), points, pad_mask, R, t, pn, on, weights,
                 cfg, tuple(channels),

@@ -35,3 +35,13 @@ def test_semantic_mapping_demo(capsys):
     assert "green-dominant world: True" in out
     for layer in ("elevation", "rgb", "grass", "obstacle"):
         assert f"layer {layer}" in out
+
+
+def test_robot_stack_demo(capsys):
+    _load("robot_stack").main()
+    out = capsys.readouterr().out
+    assert "sensors=['color_cam', 'front_lidar']" in out
+    assert "dropped: 0" in out
+    assert "planar regions: 2" in out or "planar regions: 3" in out
+    assert "check_safety[platform edge]: safe=False" in out
+    assert "foothold polygon: convex" in out

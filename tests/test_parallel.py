@@ -289,3 +289,110 @@ def test_spatial_sharding_rejects_indivisible_rows():
     mesh = make_mesh((8,), ("x",))
     with pytest.raises(ValueError, match="divisible"):
         shard_state_spatial(init_state(cfg), mesh, "x")
+
+
+def test_batched_input_image_matches_sequential(rng):
+    """Per-env camera fusion (vmapped input_image) == sequential."""
+    from elevation_mapping_cupy_tpu.parallel import batched_input_image
+
+    channels = ("rgb", "mask")
+    cfg = MapConfig(
+        resolution=0.1, map_length=2.0, max_points=64,
+        image_occlusion_mode="bresenham",
+        semantic_layers=channels,
+        image_channel_fusions=(("rgb", "color"), ("mask", "exponential"),
+                               ("default", "exponential")),
+    )
+    B = 3
+    n = cfg.cell_n
+    K = np.array([[50, 0, 32], [0, 50, 24], [0, 0, 1]], np.float32)
+    Rm = np.array([[1, 0, 0], [0, -1, 0], [0, 0, -1]], np.float32)
+    ih, iw = 48, 64
+    states, imgs, ts = [], [], []
+    for b in range(B):
+        st = init_state(cfg)
+        h = rng.uniform(-0.02, 0.02, (n, n)).astype(np.float32)
+        st = st._replace(layers=st.layers.at[0].set(jnp.asarray(h)).at[2].set(1.0))
+        states.append(st)
+        imgs.append(rng.uniform(0, 1, (4, ih, iw)).astype(np.float32))
+        ts.append(np.array([0.0, 0.05 * b, 1.0], np.float32))
+
+    seq = [
+        core.input_image(
+            states[b], jnp.asarray(imgs[b]), jnp.asarray(Rm), jnp.asarray(ts[b]),
+            jnp.asarray(K), jnp.zeros(5), cfg, channels,
+        )
+        for b in range(B)
+    ]
+    batch_states = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    out = batched_input_image(
+        batch_states,
+        jnp.asarray(np.stack(imgs)),
+        jnp.broadcast_to(jnp.asarray(Rm), (B, 3, 3)),
+        jnp.asarray(np.stack(ts)),
+        jnp.broadcast_to(jnp.asarray(K), (B, 3, 3)),
+        jnp.zeros((B, 5)),
+        cfg,
+        channels,
+    )
+    for b in range(B):
+        np.testing.assert_allclose(
+            np.asarray(out.semantic[b]), np.asarray(seq[b].semantic), atol=1e-5
+        )
+
+
+def test_sharded_scatter_2d_mesh_matches_local(rng):
+    """2D-tiled scatter (rows x cols over a (4,2) mesh) == single device,
+    including non-divisible extents (padding on both axes)."""
+    from elevation_mapping_cupy_tpu.ops import scatter as sc
+    from elevation_mapping_cupy_tpu.parallel.sharded_scatter import (
+        sharded_scatter_add_streams_2d,
+    )
+
+    mesh = make_mesh((4, 2), ("x", "y"))
+    for h, w in ((128, 256), (130, 258)):
+        n = 4096
+        idx = rng.integers(0, h * w, n).astype(np.int32)
+        mask = rng.random(n) < 0.9
+        vals = [rng.normal(0, 1, n).astype(np.float32),
+                rng.integers(0, 2, n).astype(np.float32)]
+        exact = (False, True)
+        ref = sc._scatter_add_streams_2d_local(
+            h, w, jnp.asarray(idx), [jnp.asarray(v) for v in vals],
+            jnp.asarray(mask), exact)
+        out = sharded_scatter_add_streams_2d(
+            h, w, jnp.asarray(idx), [jnp.asarray(v) for v in vals],
+            jnp.asarray(mask), exact, mesh, "x", "y")
+        assert out.shape == (2, h, w)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_spatial_2d_tiling_matches_unsharded(rng):
+    """Full update on a map 2D-tiled over a (4,2) mesh == single device."""
+    from elevation_mapping_cupy_tpu.parallel.spatial import (
+        shard_state_spatial, spatial_update_pointcloud,
+    )
+
+    cfg = MapConfig(resolution=0.1, map_length=3.0, max_ray_length=0.5,
+                    max_points=2048)
+    assert cfg.cell_n % 4 == 0 and cfg.cell_n % 2 == 0  # 32
+    mesh = make_mesh((4, 2), ("x", "y"))
+    w = default_weights()
+    pts = rng.uniform(-1.4, 1.4, (2048, 3)).astype(np.float32)
+    pts[:, 2] = rng.uniform(-0.1, 0.3, 2048).astype(np.float32)
+    mask = np.ones(2048, bool)
+    R = np.eye(3, dtype=np.float32)
+    t = np.array([0, 0, 0.5], np.float32)
+
+    ref = core.update_pointcloud(
+        init_state(cfg), jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(R),
+        jnp.asarray(t), jnp.float32(0), jnp.float32(0), w, cfg,
+    )
+    step = spatial_update_pointcloud(mesh, cfg, "x", col_axis="y")
+    state = shard_state_spatial(init_state(cfg), mesh, "x", col_axis="y")
+    out = step(state, jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(R),
+               jnp.asarray(t), jnp.float32(0), jnp.float32(0), w)
+    jax.block_until_ready(out)
+    assert len(out.layers.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(out.layers), np.asarray(ref.layers),
+                               atol=1e-5)
