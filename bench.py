@@ -254,6 +254,52 @@ def bench_spatial() -> None:
     }))
 
 
+def bench_dino() -> None:
+    """Semantic-sensor sidecar throughput: DINO ViT featurization on-device.
+
+    The reference's semantic_sensor runs a DINO ViT per camera frame on the
+    robot GPU (networks.py registry, no committed numbers). This measures
+    the JAX ViT (sensor/dino.py) end-to-end (patch embed -> blocks ->
+    STEGO projection head) at BENCH_BATCH images of 224x224, bf16 compute.
+    vs_baseline is frames/s against a 30 Hz camera budget per stream.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from elevation_mapping_cupy_tpu.sensor.dino import (
+        ViTConfig, dino_featurize, init_vit_params,
+    )
+
+    B = int(os.environ.get("BENCH_BATCH", 16))
+    iters = int(os.environ.get("BENCH_ITERS", 20))
+    variant = os.environ.get("BENCH_DINO", "vit_small")
+    cfg = ViTConfig(variant=variant, patch_size=16)
+    params = init_vit_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.normal(0, 1, (B, 3, 224, 224)).astype(np.float32))
+
+    fn = jax.jit(lambda im: dino_featurize(params, im, cfg)[1])
+    _ = float(jnp.sum(fn(imgs)))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(imgs)
+    _ = float(jnp.sum(out))
+    per_batch = (time.perf_counter() - t0) / iters
+    fps = B / per_batch
+    print(json.dumps({
+        "metric": f"DINO {variant}/16 featurization (224x224, B={B})",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 30.0, 2),
+        "extra": {
+            "batch": B,
+            "batch_latency_s": round(per_batch, 4),
+            "compute_dtype": str(cfg.compute_dtype.__name__ if hasattr(cfg.compute_dtype, "__name__") else cfg.compute_dtype),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
 def bench_mem() -> None:
     """MEM multi-modal fusion (BASELINE config #3): geometric update + RGB
     color fusion + two class_average semantic channels from one multi-modal
@@ -407,6 +453,9 @@ def main() -> None:
         return
     if mode == "spatial":
         bench_spatial()
+        return
+    if mode == "dino":
+        bench_dino()
         return
 
     import jax
