@@ -296,6 +296,15 @@ class ElevationMap:
     def update_time(self) -> None:
         self.state = core.update_time(self.state, self.cfg)
 
+    def get_additive_mean_error(self) -> float:
+        """Accumulated drift estimate (elevation_mapping.py:412-418)."""
+        return float(np.asarray(self.state.additive_mean_error))
+
+    def update_upper_bound_with_valid_elevation(self) -> None:
+        """Refresh upper_bound/is_upper_bound from valid elevation
+        (elevation_mapping.py:428-432)."""
+        self.state = core.update_upper_bound_with_valid_elevation(self.state)
+
     def update_normal(self, input_map=None) -> None:
         m = self.state.layers[0] if input_map is None else jnp.asarray(input_map)
         self.state = core.update_normal(self.state, m, self.cfg)

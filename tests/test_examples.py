@@ -45,3 +45,11 @@ def test_robot_stack_demo(capsys):
     assert "planar regions: 2" in out or "planar regions: 3" in out
     assert "check_safety[platform edge]: safe=False" in out
     assert "foothold polygon: convex" in out
+
+
+def test_large_world_sharded_demo(capsys):
+    _load("large_world_sharded").main()
+    out = capsys.readouterr().out
+    assert "512x512 cells" in out and "over 8 shards" in out
+    assert "building A top: 1.2" in out
+    assert "sharded world map ok" in out

@@ -189,3 +189,28 @@ def test_degenerate_inputs():
         np.zeros((1, 8, 8), np.float32), ["no_such_channel"], R, t,
         np.eye(3, dtype=np.float32), np.zeros(5, np.float32),
     )
+
+
+def test_drift_and_upper_bound_passthroughs(rng):
+    """get_additive_mean_error / update_upper_bound_with_valid_elevation
+    mirror the reference's public methods (elevation_mapping.py:412-432)."""
+    em = ElevationMap(small_cfg())
+    pts = rng.uniform(-0.9, 0.9, (500, 3)).astype(np.float32)
+    pts[:, 2] = rng.uniform(0.0, 0.1, 500)
+    em.input_pointcloud(pts, ["x", "y", "z"], np.eye(3, dtype=np.float32),
+                        np.array([0, 0, 0.5], np.float32), 0.0, 0.0)
+    assert isinstance(em.get_additive_mean_error(), float)
+
+    # poke an upper bound into an invalid cell, then refresh from a valid one
+    layers = np.asarray(em.state.layers).copy()
+    iy, ix = 5, 5
+    layers[2, iy, ix] = 1.0          # valid
+    layers[0, iy, ix] = 0.42
+    layers[5, iy, ix] = 9.0          # stale upper bound
+    layers[6, iy, ix] = 1.0
+    import jax.numpy as jnp
+    em.state = em.state._replace(layers=jnp.asarray(layers))
+    em.update_upper_bound_with_valid_elevation()
+    out = np.asarray(em.state.layers)
+    assert out[5, iy, ix] == np.float32(0.42)   # ub <- elevation where valid
+    assert out[6, iy, ix] == 0.0
