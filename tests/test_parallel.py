@@ -396,3 +396,38 @@ def test_spatial_2d_tiling_matches_unsharded(rng):
     assert len(out.layers.sharding.device_set) == 8
     np.testing.assert_allclose(np.asarray(out.layers), np.asarray(ref.layers),
                                atol=1e-5)
+
+
+def test_two_process_distributed_update(tmp_path):
+    """REAL multi-process bring-up: two OS processes form a (2 hosts x 2
+    chips) pod mesh over jax.distributed (CPU backend), each feeds its own
+    envs via HostFeed, and both run the env-sharded batched update with
+    psum'd stats — the TCPROS-replacement path end-to-end."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    worker = os.path.join(os.path.dirname(__file__), "distributed_worker.py")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, f"localhost:{port}", str(i), "2", repo],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=300)[0].decode() for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc{i} failed:\n{out}"
+        assert f"proc{i} ok frac_valid=" in out
+    # psum'd stats agree across processes
+    v0 = outs[0].split("frac_valid=")[1].split()[0]
+    v1 = outs[1].split("frac_valid=")[1].split()[0]
+    assert v0 == v1
