@@ -74,15 +74,30 @@ def visibility_cleanup_exact(
     snap = layers.reshape(7, -1)          # R1 snapshot
     nrm = normal.reshape(3, -1)
     ic = inlier_cnt.reshape(-1)
-    # all per-cell values the march reads, packed so each scan step pays ONE
-    # gather at the sample cells instead of ten scalar gathers (measured at
-    # 1M indices: ten scalar gathers 64 ms, (M,10) row gather 3.6 ms,
-    # (10,M) column gather 1.3 ms — the lane-major output wins)
+    # Everything the march reads is per-CELL and constant across steps, so
+    # the cell-side conditions are precomputed once here and the scan body
+    # pays ONE packed gather + per-sample compares (measured at 1M indices:
+    # ten scalar gathers 64 ms, (M,10) row gather 3.6 ms, packed column
+    # gather 1.3 ms). Selections only — no re-associated arithmetic — so
+    # the comparisons are bit-identical to the inline forms:
+    #   q         = min(var,1)*0.05 (the penetration slack term)
+    #   ub_thresh = +inf where is_upper_bound<0.5 else upper_bound
+    #               (nz < ub_thresh  ==  (nz < ub) | (iub < 0.5))
+    #   code      = 1 for invalid cells (upper-bound branch), 2 for cells
+    #               eligible to be hit (valid & not-recent & not wall), 0 else
+    q = jnp.minimum(snap[1], 1.0) * 0.05
+    ub_thresh = jnp.where(snap[6] < 0.5, jnp.inf, snap[5])
+    is_invalid = snap[2] < 0.5
+    hit_ok = (
+        ~is_invalid
+        & (snap[4] >= 0.5)
+        & ~((ic > cfg.wall_num_thresh) & (snap[4] < 1.0))
+    )
+    code = jnp.where(is_invalid, 1.0, jnp.where(hit_ok, 2.0, 0.0))
     pack = jnp.stack(
-        [snap[0], snap[1], snap[2], snap[4], snap[5], snap[6],
-         nrm[0], nrm[1], nrm[2], ic],
+        [snap[0], q, ub_thresh, code, nrm[0], nrm[1], nrm[2]],
         axis=0,
-    )                                      # (10, n*n)
+    )                                      # (7, n*n)
 
     p = assoc.world                        # (N, 3) ray endpoints
     vvec = p - t                           # sensor → point
@@ -114,32 +129,23 @@ def visibility_cleanup_exact(
         d = jnp.sum((p - sample) ** 2, axis=-1)
         active = on_ray & fresh & inside & (d >= 0.1) & ray_ok
 
-        row = pack[:, nidx]                            # (10, N) one gather
-        cell_h = row[0]
-        cell_v = row[1]
-        cell_valid = row[2]
-        cell_t = row[3]
-        cell_ub = row[4]
-        cell_iub = row[5]
+        row = pack[:, nidx]                            # (7, N) one gather
         nz = sample[:, 2]
 
-        is_invalid_cell = cell_valid < 0.5
-        ub_cond = (nz < cell_ub) | (cell_iub < 0.5)
+        ub_cond = nz < row[2]
 
         # branch A: invalid cell → upper-bound candidate only
-        write_ub_a = active & is_invalid_cell & ub_cond
+        write_ub_a = active & (row[3] == 1.0) & ub_cond
 
-        # branch B: valid cell, not freshly updated, penetrated by the ray
-        not_recent = cell_t >= 0.5
-        penet = cell_h > nz + 0.01 - jnp.minimum(cell_v, 1.0) * 0.05
+        # branch B: eligible cell penetrated by a non-vertical ray
+        penet = row[0] > nz + 0.01 - row[1]
         product = (
-            rdir[:, 0] * row[6]
-            + rdir[:, 1] * row[7]
-            + rdir[:, 2] * row[8]
+            rdir[:, 0] * row[4]
+            + rdir[:, 1] * row[5]
+            + rdir[:, 2] * row[6]
         )
         not_vertical = jnp.abs(product) >= cfg.cleanup_cos_thresh
-        wall_skip = (row[9] > cfg.wall_num_thresh) & (cell_t < 1.0)
-        hit = active & ~is_invalid_cell & not_recent & penet & not_vertical & ~wall_skip
+        hit = active & (row[3] == 2.0) & penet & not_vertical
 
         dec_amount = cfg.cleanup_step / (ray_length / cfg.max_ray_length)
         # routed scatter choke point: MXU matmul-scatter on TPU (the fused
