@@ -254,6 +254,60 @@ def bench_spatial() -> None:
     }))
 
 
+def bench_image() -> None:
+    """Image fusion path: projection + Bresenham occlusion + color fusion.
+
+    The reference's image callback projects every map cell through P=K[R|t],
+    checks occlusion with a per-cell Bresenham march over the height map,
+    and gathers image pixels into semantic layers (custom_image_kernels.py).
+    Measures full input_image dispatches at VGA resolution on the reference
+    202x202 map; vs_baseline against a 30 Hz camera budget.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from elevation_mapping_cupy_tpu import MapConfig, core, init_state
+
+    iters = int(os.environ.get("BENCH_ITERS", 30))
+    H, W = 480, 640
+    channels = ("rgb", "mask")
+    cfg = MapConfig(semantic_layers=channels,
+                    image_channel_fusions=(("rgb", "color"),
+                                           ("default", "exponential")))
+    rng = np.random.default_rng(0)
+    state = init_state(cfg)
+    h = rng.uniform(-0.05, 0.05, (cfg.cell_n, cfg.cell_n)).astype(np.float32)
+    state = state._replace(
+        layers=state.layers.at[0].set(jnp.asarray(h)).at[2].set(1.0))
+    img = jnp.asarray(rng.uniform(0, 1, (4, H, W)).astype(np.float32))
+    K = jnp.asarray([[400.0, 0, W / 2], [0, 400.0, H / 2], [0, 0, 1]])
+    R = jnp.asarray([[1.0, 0, 0], [0, -1, 0], [0, 0, -1]])
+    t = jnp.asarray([0.0, 0.0, 1.5], jnp.float32)
+    D = jnp.zeros(5)
+
+    def step(s):
+        return core.input_image(s, img, R, t, K, D, cfg, channels)
+
+    state = step(state)
+    _ = float(jnp.sum(state.semantic))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state = step(state)
+    _ = float(jnp.sum(state.semantic))
+    per = (time.perf_counter() - t0) / iters
+    print(json.dumps({
+        "metric": f"image fusion ({W}x{H} rgb+mask onto {cfg.cell_n}x{cfg.cell_n})",
+        "value": round(1.0 / per, 1),
+        "unit": "frames/s",
+        "vs_baseline": round((1.0 / per) / 30.0, 2),
+        "extra": {
+            "pipelined_update_s": round(per, 4),
+            "occlusion_mode": cfg.image_occlusion_mode,
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
 def bench_dino() -> None:
     """Semantic-sensor sidecar throughput: DINO ViT featurization on-device.
 
@@ -456,6 +510,9 @@ def main() -> None:
         return
     if mode == "dino":
         bench_dino()
+        return
+    if mode == "image":
+        bench_image()
         return
 
     import jax

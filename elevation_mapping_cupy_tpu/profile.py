@@ -59,9 +59,16 @@ def main() -> None:
         stage[name].append(time.perf_counter() - t0)
         return out
 
-    # warmup (compile)
+    # warmup (compile) — run EVERY timed stage once: the first
+    # input_pointcloud grows the semantic layers, which changes the static
+    # config and forces a second compile wave through move_to/export/polygon;
+    # without this the per-stage table mixes compiles into the means
     em.input_pointcloud(make_points(), channels, R, np.array([0, 0, 0.6], np.float32), 0, 0)
     em.update_normal()
+    em.move_to(np.zeros(3), R)
+    for layer in layers:
+        em.get_map_with_name_ref(layer, data)
+    em.get_polygon_traversability(polygon, result)
 
     ctx = jax.profiler.trace(args.trace) if args.trace else None
     if ctx:
