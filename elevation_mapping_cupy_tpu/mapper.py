@@ -96,6 +96,13 @@ def _export_layer(state: MapState, cfg: MapConfig, name: str, flip: bool = False
     return m
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "names", "flip"))
+def _export_layers(state: MapState, cfg: MapConfig, names, flip: bool = False):
+    """Batched export: every named layer in one compiled program, so a
+    publish cycle pays ONE dispatch+fetch instead of one per layer."""
+    return tuple(_export_layer(state, cfg, nm, flip) for nm in names)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _polygon_stats(
     state: MapState,
@@ -361,6 +368,37 @@ class ElevationMap:
                 return
             m = jnp.flip(jnp.flip(m, 0), 1)
         data[...] = np.asarray(m, np.float32)
+
+    def get_layers(self, names) -> dict:
+        """Fetch several layers in ONE device round-trip.
+
+        The per-layer ``get_map_with_name_ref`` pays a dispatch+fetch
+        round-trip per layer (~42 ms each on tunneled backends, 5 layers =
+        ~210 ms per publish); this stacks all non-plugin exports into one
+        jitted tuple and one ``device_get``. Plugin layers (host-side
+        compute) fall back to the per-layer path. Returns {name: (n, n)
+        float32}, flipped like the GridMap export."""
+        names = tuple(names)
+        fast = [
+            nm for nm in names
+            if nm in self.layer_names
+            or nm in ("normal_x", "normal_y", "normal_z")
+            or nm in self.semantic_layer_names
+        ]
+        out = {}
+        if fast:
+            ms = _export_layers(self.state, self.cfg, tuple(fast), True)
+            for nm, m in zip(fast, jax.device_get(ms)):
+                out[nm] = np.asarray(m, np.float32)
+        for nm in names:
+            if nm in out:
+                continue
+            m = self._get_named_map(nm)
+            if m is None:
+                print(f"Layer {nm} is not in the map")
+                continue
+            out[nm] = np.asarray(jnp.flip(jnp.flip(m, 0), 1), np.float32)
+        return out
 
     def _get_named_map(self, name: str):
         if (

@@ -336,14 +336,12 @@ class MappingService:
 
         for pub in self.publishers:
             if pub.fps > 0 and now - pub.last_publish >= 1.0 / pub.fps:
-                out = {}
-                data = np.zeros(
-                    (self.mapper.cell_n - 2, self.mapper.cell_n - 2), np.float32
+                # one fused export + one device fetch for the whole layer
+                # set (per-layer fetches cost a round-trip each — ~42 ms
+                # on tunneled backends)
+                out = self.mapper.get_layers(
+                    [l for l in pub.layers if self.mapper.exists_layer(l)]
                 )
-                for layer in pub.layers:
-                    if self.mapper.exists_layer(layer):
-                        self.mapper.get_map_with_name_ref(layer, data)
-                        out[layer] = data.copy()
                 pub.callback(out)
                 pub.last_publish = now
         return processed

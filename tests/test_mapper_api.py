@@ -214,3 +214,25 @@ def test_drift_and_upper_bound_passthroughs(rng):
     out = np.asarray(em.state.layers)
     assert out[5, iy, ix] == np.float32(0.42)   # ub <- elevation where valid
     assert out[6, iy, ix] == 0.0
+
+
+def test_get_layers_matches_per_layer(rng):
+    """Fused multi-layer export == per-layer get_map_with_name_ref,
+    including a plugin layer via the fallback path."""
+    em = ElevationMap(small_cfg(semantic_layers=("rgb",),
+                                pointcloud_channel_fusions=(("rgb", "color"),
+                                                            ("default", "average"))))
+    pts = rng.uniform(-0.9, 0.9, (2000, 4)).astype(np.float32)
+    pts[:, 2] = rng.uniform(0.0, 0.2, 2000)
+    rgbs = rng.integers(0, 255, (2000, 3)).astype(np.uint32)
+    pts[:, 3] = ((rgbs[:, 0] << 16) | (rgbs[:, 1] << 8) | rgbs[:, 2]).view(np.float32)
+    em.input_pointcloud(pts, ["x", "y", "z", "rgb"], np.eye(3, dtype=np.float32),
+                        np.array([0, 0, 0.5], np.float32), 0.0, 0.0)
+    names = ["elevation", "variance", "traversability", "upper_bound", "rgb",
+             "normal_x"]
+    fused = em.get_layers(names)
+    data = np.zeros((em.cell_n - 2, em.cell_n - 2), np.float32)
+    for nm in names:
+        em.get_map_with_name_ref(nm, data)
+        np.testing.assert_array_equal(fused[nm], data, err_msg=nm)
+    assert set(fused) == set(names)
