@@ -35,12 +35,17 @@ USE_MXU_SCATTER: Optional[bool] = (
     else os.environ["ELEV_TPU_MXU_SCATTER"] == "1"
 )
 
-# Trace-time spatial-sharding override: (mesh, axis_name) set by
-# parallel.sharded_scatter.sharded_scatter_ctx. When set, every
-# scatter_add_streams_2d call whose row count divides the mesh axis routes
-# through the shard-local per-block path (each shard scatters only its own
-# points via the MXU kernel on its VMEM-sized row block).
-_SPATIAL_SHARDING = None
+# Trace-time spatial-sharding override: (mesh, axis_name, col_axis_name)
+# set by parallel.sharded_scatter.sharded_scatter_ctx. When set, every
+# scatter_add_streams_2d call traced in the SAME context (a ContextVar, so
+# concurrent traces in other threads/tasks are unaffected) routes through
+# the shard-local per-block path (each shard scatters only its own points
+# via the MXU kernel on its VMEM-sized block).
+import contextvars
+
+_SPATIAL_SHARDING: contextvars.ContextVar = contextvars.ContextVar(
+    "elev_spatial_sharding", default=None
+)
 
 
 def _mxu_forced() -> Optional[bool]:
@@ -100,8 +105,9 @@ def scatter_add_streams_2d(
     call is dispatched shard-locally instead: each mesh shard scatters the
     points it owns onto its own row block (parallel/sharded_scatter.py).
     """
-    if _SPATIAL_SHARDING is not None:
-        mesh, axis_name, col_axis_name = _SPATIAL_SHARDING
+    sharding = _SPATIAL_SHARDING.get()
+    if sharding is not None:
+        mesh, axis_name, col_axis_name = sharding
         from ..parallel.sharded_scatter import sharded_scatter_add_streams_2d
 
         return sharded_scatter_add_streams_2d(

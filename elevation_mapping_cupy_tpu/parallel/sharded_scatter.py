@@ -119,9 +119,8 @@ def sharded_scatter_ctx(mesh: Mesh, axis_name: str = "x", col_axis_name: str = N
     ``spatial_update_pointcloud`` (pass ``col_axis_name`` for 2D tiling)."""
     from ..ops import scatter as sc
 
-    prev = sc._SPATIAL_SHARDING
-    sc._SPATIAL_SHARDING = (mesh, axis_name, col_axis_name)
+    token = sc._SPATIAL_SHARDING.set((mesh, axis_name, col_axis_name))
     try:
         yield
     finally:
-        sc._SPATIAL_SHARDING = prev
+        sc._SPATIAL_SHARDING.reset(token)

@@ -246,20 +246,6 @@ def grow_convex_polygon(
 # segmented plane projection (SegmentedPlaneProjection.cpp:56-97)
 # ---------------------------------------------------------------------------
 
-def _point_segment_distance(p: np.ndarray, a: np.ndarray, b: np.ndarray) -> float:
-    ab = b - a
-    t = float(np.dot(p - a, ab) / max(np.dot(ab, ab), 1e-12))
-    t = min(max(t, 0.0), 1.0)
-    return float(np.linalg.norm(p - (a + t * ab)))
-
-
-def _distance_to_ring(p: np.ndarray, ring: np.ndarray) -> float:
-    return min(
-        _point_segment_distance(p, ring[i], ring[(i + 1) % len(ring)])
-        for i in range(len(ring))
-    )
-
-
 def _closest_point_on_ring(p: np.ndarray, ring: np.ndarray) -> Tuple[float, np.ndarray]:
     """Distance to the ring and the closest point ON the ring edges."""
     best_d, best_p = np.inf, ring[0]

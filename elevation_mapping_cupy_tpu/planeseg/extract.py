@@ -65,8 +65,13 @@ class PlaneSegParams:
 class PreprocessingParams:
     """Mirrors PreprocessingParameters (GridMapPreprocessing.h:9-16) and the
     deployed parameters.yaml `preprocessing:` block. resolution is the
-    resample target: negative skips; the deployed value 0.04 equals the map
-    resolution, i.e. a no-op there (changeResolution skips within 1e-6)."""
+    resample target: negative skips; the default 0.04 is the REFERENCE
+    HEADER default (GridMapPreprocessing.h:10-11), so — exactly like the
+    reference — a pipeline running on a map of any other resolution
+    resamples to 0.04 m unless configured otherwise. The deployed value
+    equals the deployed map resolution, i.e. a no-op there
+    (changeResolution skips within 1e-6). Pass
+    PreprocessingParams(resolution=-1.0) to extract on the native grid."""
 
     resolution: float = 0.04
     kernel_size: int = 3        # median kernel, clamped to [1, 5]

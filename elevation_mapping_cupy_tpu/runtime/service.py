@@ -45,6 +45,14 @@ class SensorFrame:
 
 @dataclasses.dataclass
 class Publisher:
+    """One fps-limited layer publisher (the reference's per-publisher
+    GridMap timers, elevation_mapping_ros.cpp:234-267).
+
+    ``basic_layers`` is grid_map message METADATA, not a gate: in the
+    reference it becomes GridMap::setBasicLayers, and CONSUMERS use it for
+    isValid() cell checks — publishing is not filtered by it. Callbacks
+    that assemble messages should read it off the Publisher."""
+
     name: str
     layers: List[str]
     fps: float
@@ -142,8 +150,13 @@ def _transform_submap(
     nx = max(int(np.ceil((hi[0] - lo[0]) / res)), 1)
     ny = max(int(np.ceil((hi[1] - lo[1]) / res)), 1)
 
-    qi = np.clip(((Q[:, 0] - lo[0]) / res).astype(int), 0, nx - 1)
-    qj = np.clip(((Q[:, 1] - lo[1]) / res).astype(int), 0, ny - 1)
+    qi = ((Q[:, 0] - lo[0]) / res).astype(int)
+    qj = ((Q[:, 1] - lo[1]) / res).astype(int)
+    # drop points outside the new footprint instead of clamping them onto
+    # the border (grid_map getTransformedMap skips !isInside points): the
+    # bounds come from the z=0 corners, so a pitched/rolled transform can
+    # carry tall cells beyond them
+    valid = valid & (qi >= 0) & (qi < nx) & (qj >= 0) & (qj < ny)
     qi, qj, Q = qi[valid], qj[valid], Q[valid]
 
     out: Dict[str, np.ndarray] = {}

@@ -426,3 +426,28 @@ publishers:
     assert "grass" in published and "rgb" in published
     grass = published["grass"]
     assert np.nanmax(grass) > 0.3  # class_average pulled toward 0.8
+
+
+def test_submap_pitched_transform_drops_out_of_range(rng):
+    """A pitched request frame carries tall cells beyond the z=0 corner
+    bounds; grid_map getTransformedMap DROPS !isInside points — clamping
+    them would overwrite unrelated border cells with tall heights."""
+    from elevation_mapping_cupy_tpu.runtime.service import _transform_submap
+
+    res = 0.1
+    n = 11
+    xs = (np.arange(n) - n // 2) * res
+    ys = (np.arange(n) - n // 2) * res
+    h = np.zeros((n, n), np.float32)
+    h[0, :] = 5.0          # a 5 m wall along the min-x edge
+    th = np.deg2rad(30.0)  # pitch: z leaks into x by z*sin(30) = 2.5 m
+    R = np.array([[np.cos(th), 0, np.sin(th)],
+                  [0, 1, 0],
+                  [-np.sin(th), 0, np.cos(th)]], np.float64)
+    out = _transform_submap({"elevation": h}, xs, ys, "elevation",
+                            R, np.zeros(3), res)["elevation"]
+    # the wall points land ~2.5 m beyond the footprint -> dropped, and no
+    # border cell of the output carries the 5 m height
+    finite = out[np.isfinite(out)]
+    assert finite.size > 0
+    assert np.nanmax(finite) < 1.0, "clamped tall cells leaked into the border"
