@@ -431,3 +431,32 @@ def test_two_process_distributed_update(tmp_path):
     v0 = outs[0].split("frac_valid=")[1].split()[0]
     v1 = outs[1].split("frac_valid=")[1].split()[0]
     assert v0 == v1
+
+
+def test_batched_move_to_matches_sequential(rng):
+    """Batched recentering == per-env core.move_to (donated input)."""
+    from elevation_mapping_cupy_tpu.parallel import batched_move_to
+
+    B = 3
+    w = default_weights()
+    pts, mask, R, t, z = make_batch_inputs(rng, B, CFG.max_points)
+    states = batched_update(
+        init_batch(CFG, B), jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(R),
+        jnp.asarray(t), jnp.asarray(z), jnp.asarray(z), w, CFG,
+    )
+    positions = rng.uniform(-0.5, 0.5, (B, 3)).astype(np.float32)
+    Rs = np.broadcast_to(np.eye(3, dtype=np.float32), (B, 3, 3)).copy()
+
+    seq = [
+        core.move_to(
+            jax.tree.map(lambda x: x[b], states),
+            jnp.asarray(positions[b]), jnp.asarray(Rs[b]), CFG,
+        )
+        for b in range(B)
+    ]
+    out = batched_move_to(states, jnp.asarray(positions), jnp.asarray(Rs), CFG)
+    for b in range(B):
+        np.testing.assert_array_equal(
+            np.asarray(out.layers[b]), np.asarray(seq[b].layers))
+        np.testing.assert_allclose(
+            np.asarray(out.center[b]), np.asarray(seq[b].center))
