@@ -186,16 +186,20 @@ def bench_spatial() -> None:
     values += [jnp.asarray(rng.integers(0, 2, n_points).astype(np.float32))
                for _ in range(2)]
 
+    # force the XLA branch while TRACING xla_full (the flag is read at
+    # trace time): what the unsharded update runs at this size anyway —
+    # the VMEM-fit guard routes 1024² maps off the MXU kernel
     @jax.jit
     def xla_full(flat_idx, mask, *values):
-        # force the XLA branch: what the unsharded update runs at this size
-        prev = sc.USE_MXU_SCATTER
-        sc.USE_MXU_SCATTER = False
-        try:
-            return sc._scatter_add_streams_2d_local(
-                h, w, flat_idx, values, mask, exact)
-        finally:
-            sc.USE_MXU_SCATTER = prev
+        return sc._scatter_add_streams_2d_local(
+            h, w, flat_idx, values, mask, exact)
+
+    prev = sc.USE_MXU_SCATTER
+    sc.USE_MXU_SCATTER = False
+    try:
+        xla_full(flat_idx, mask, *values)  # trace+compile under the flag
+    finally:
+        sc.USE_MXU_SCATTER = prev
 
     @jax.jit
     def shard_block(flat_idx, mask, *values):
