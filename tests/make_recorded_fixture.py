@@ -21,6 +21,9 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 
 FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "recorded_map_v1.npz")
+FIXTURE_DEPLOYED = os.path.join(
+    os.path.dirname(__file__), "fixtures", "recorded_map_deployed_v1.npz"
+)
 SEED = 20240817
 
 
@@ -36,14 +39,34 @@ def pinned_config():
     )
 
 
-def run_pinned():
+def deployed_config():
+    """The reference's DEPLOYED operating point (core_param.yaml values that
+    differ from the dataclass defaults) at a small map: the 10 m-ray exact
+    regime the first fixture doesn't cover."""
+    from elevation_mapping_cupy_tpu import MapConfig
+
+    return MapConfig(
+        resolution=0.1,
+        map_length=3.0,
+        max_ray_length=10.0,
+        max_points=4096,
+        raycast_mode="exact",
+        initial_variance=1000.0,
+        initialized_variance=1000.0,
+        max_variance=100.0,
+        cleanup_step=0.1,
+        dilation_size=3,
+    )
+
+
+def run_pinned(cfg_factory=None):
     import jax.numpy as jnp
 
     import elevation_mapping_cupy_tpu
     from elevation_mapping_cupy_tpu import core, init_state
     from elevation_mapping_cupy_tpu.nn.traversability import load_weights_npz
 
-    cfg = pinned_config()
+    cfg = (cfg_factory or pinned_config)()
     weights = load_weights_npz(
         os.path.join(
             os.path.dirname(elevation_mapping_cupy_tpu.__file__),
@@ -74,6 +97,9 @@ def main():
     layers, normal = run_pinned()
     np.savez_compressed(FIXTURE, layers=layers, normal=normal, seed=SEED)
     print(f"wrote {FIXTURE}: layers {layers.shape}, normal {normal.shape}")
+    layers, normal = run_pinned(deployed_config)
+    np.savez_compressed(FIXTURE_DEPLOYED, layers=layers, normal=normal, seed=SEED)
+    print(f"wrote {FIXTURE_DEPLOYED}: layers {layers.shape}, normal {normal.shape}")
 
 
 if __name__ == "__main__":

@@ -10,7 +10,9 @@ the change to be explained in review).
 
 import numpy as np
 
-from .make_recorded_fixture import FIXTURE, run_pinned
+from .make_recorded_fixture import (
+    FIXTURE, FIXTURE_DEPLOYED, deployed_config, run_pinned,
+)
 
 
 def test_engine_matches_recorded_fixture():
@@ -20,5 +22,20 @@ def test_engine_matches_recorded_fixture():
         layers, rec["layers"], atol=1e-5,
         err_msg="engine output drifted from the recorded fixture — if the "
         "change is intentional, regenerate with python -m tests.make_recorded_fixture",
+    )
+    np.testing.assert_allclose(normal, rec["normal"], atol=1e-5)
+
+
+def test_engine_matches_deployed_fixture():
+    """Same tamper detector at the reference's DEPLOYED operating point
+    (initial_variance 1000, max_variance 100, 10 m rays, cleanup_step 0.1,
+    dilation_size 3) — the raycast/variance regime the first fixture
+    doesn't exercise."""
+    rec = np.load(FIXTURE_DEPLOYED)
+    layers, normal = run_pinned(deployed_config)
+    np.testing.assert_allclose(
+        layers, rec["layers"], atol=1e-5,
+        err_msg="deployed-OP output drifted — regenerate deliberately with "
+        "python -m tests.make_recorded_fixture",
     )
     np.testing.assert_allclose(normal, rec["normal"], atol=1e-5)
