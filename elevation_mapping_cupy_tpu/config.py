@@ -104,6 +104,18 @@ class MapConfig:
     # scatter-min + min-pyramid, ~9 ms at 1M pts; quantization = half an
     # elevation bucket); False = exact per-bucket scatter-min
     raycast_slope_from_bins: bool = True
+    # exact-march implementation: "scan" = one scatter round per ray step
+    # (lax.scan, n_ray_steps serialized rounds); "flat" = ragged (ray, step)
+    # expansion compacted to the active samples and processed in fixed-size
+    # chunks (O(sum of per-ray live steps) total scatter work instead of
+    # O(n_steps * max_points); ~10x fewer serialized rounds at the deployed
+    # operating point); "auto" = flat once the march is large enough to
+    # amortize the expansion machinery. Both produce bit-identical per-sample
+    # contributions; only float summation order differs (<= 1e-6 relative).
+    raycast_exact_impl: str = "auto"
+    # static sample-chunk size for the flat exact march (memory knob: each
+    # chunk materializes ~25 floats/sample of transients)
+    raycast_flat_chunk: int = 1 << 22
 
     # --- validity ramp ---
     min_valid_distance: float = 0.3

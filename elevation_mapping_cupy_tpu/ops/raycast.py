@@ -63,14 +63,31 @@ def visibility_cleanup_exact(
     t: jax.Array,
     cfg: MapConfig,
 ) -> jax.Array:
-    """Apply visibility cleanup for one pointcloud; returns updated layers."""
+    """Apply visibility cleanup for one pointcloud; returns updated layers.
+
+    Two implementations with bit-identical per-sample semantics (reference:
+    custom_kernels.py:198-259): the step-serialized ``lax.scan`` march and a
+    compacted flat march that enumerates only the *active* (ray, step)
+    samples — a ray of length ``l`` contributes ``~l/step`` samples rather
+    than the full ``n_ray_steps`` — and scatters them in fixed-size chunks
+    (``cfg.raycast_flat_chunk``). At the deployed operating point (1M pts,
+    353 steps) the scan serializes 353 scatter rounds regardless of how
+    short the rays are; the flat march does ``ceil(sum(live)/chunk)`` rounds.
+    """
     if not cfg.enable_visibility_cleanup or cfg.n_ray_steps <= 0:
         return layers
+    impl = cfg.raycast_exact_impl
+    if impl == "auto":
+        # expansion machinery (cumsum + per-chunk segment-start scatter) only
+        # pays for itself once the dense march exceeds ~1M raw samples
+        impl = "flat" if cfg.n_ray_steps * cfg.max_points >= (1 << 20) else "scan"
+    if impl == "flat":
+        return _exact_flat(layers, normal, assoc, inlier_cnt, t, cfg)
+    return _exact_scan(layers, normal, assoc, inlier_cnt, t, cfg)
 
-    n = cfg.cell_n
-    n_steps = cfg.n_ray_steps
-    step = jnp.asarray(cfg.ray_step, layers.dtype)
 
+def _exact_precompute(layers, normal, inlier_cnt, cfg):
+    """Cell-side snapshot pack shared by both exact implementations."""
     snap = layers.reshape(7, -1)          # R1 snapshot
     nrm = normal.reshape(3, -1)
     ic = inlier_cnt.reshape(-1)
@@ -98,6 +115,22 @@ def visibility_cleanup_exact(
         [snap[0], q, ub_thresh, code, nrm[0], nrm[1], nrm[2]],
         axis=0,
     )                                      # (7, n*n)
+    return pack
+
+
+def _exact_scan(
+    layers: jax.Array,
+    normal: jax.Array,
+    assoc: PointAssociation,
+    inlier_cnt: jax.Array,
+    t: jax.Array,
+    cfg: MapConfig,
+) -> jax.Array:
+    """Step-serialized exact march: one scatter round per ray step."""
+    n = cfg.cell_n
+    n_steps = cfg.n_ray_steps
+    step = jnp.asarray(cfg.ray_step, layers.dtype)
+    pack = _exact_precompute(layers, normal, inlier_cnt, cfg)
 
     p = assoc.world                        # (N, 3) ray endpoints
     vvec = p - t                           # sensor → point
@@ -173,6 +206,212 @@ def visibility_cleanup_exact(
 
     steps = (jnp.arange(1, n_steps + 1, dtype=layers.dtype)) * step
     (dec, var, ubmin, _), _ = jax.lax.scan(body, init, steps)
+
+    flat = layers.reshape(7, -1)
+    flat = flat.at[2].add(-dec)
+    flat = flat.at[1].add(var)
+    wrote = jnp.isfinite(ubmin)
+    flat = flat.at[5].set(jnp.where(wrote, ubmin, flat[5]))
+    flat = flat.at[6].set(jnp.where(wrote, 1.0, flat[6]))
+    return flat.reshape(7, n, n)
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(int(x) - 1, 0).bit_length()
+
+
+def _exact_flat(
+    layers: jax.Array,
+    normal: jax.Array,
+    assoc: PointAssociation,
+    inlier_cnt: jax.Array,
+    t: jax.Array,
+    cfg: MapConfig,
+) -> jax.Array:
+    """Compacted exact march over the active (ray, step) samples.
+
+    A ray is live at step ``m`` only while ``steps[m] < ray_length`` (and the
+    endpoint-proximity test ``d >= 0.1`` kills the last ~sqrt(0.1)/step
+    samples), so the dense (N, n_steps) march is mostly dead work. This
+    implementation:
+
+    1. counts per-ray live steps ``k`` with the *same float comparisons* the
+       scan would make (``jnp.searchsorted`` over the shared steps vector),
+       trimming the endpoint region with one full step of slack so the exact
+       in-pass ``d >= 0.1`` mask — not the trim — decides boundary samples;
+    2. lays the samples out contiguously per ray (``offsets = cumsum(k)``)
+       and walks them in fixed-size chunks under a ``lax.while_loop`` whose
+       trip count adapts to the actual live total ``K``;
+    3. recovers each sample's ray by scattering +1 at every segment start
+       inside the chunk and prefix-summing (owner = last ray whose start is
+       <= the flat id — O(N + F) per chunk, no per-sample binary search);
+    4. replays the scan body's per-sample math bit-identically (same sample
+       position, cell index, dedup-vs-previous-step, penetration and
+       cos-threshold tests) and issues ONE routed 2-stream scatter + ONE
+       scatter-min per chunk.
+
+    Only float *summation order* differs from the scan (chunk-major instead
+    of step-major), bounded by ~1e-6 relative on the decrement/variance
+    accumulators; the upper-bound min is order-exact.
+    """
+    n = cfg.cell_n
+    n_steps = cfg.n_ray_steps
+    dt = layers.dtype
+    step = jnp.asarray(cfg.ray_step, dt)
+    pack = _exact_precompute(layers, normal, inlier_cnt, cfg)
+
+    p = assoc.world                        # (N, 3) ray endpoints
+    n_rays = p.shape[0]
+    vvec = p - t
+    norm = jnp.linalg.norm(vvec, axis=-1)
+    rdir = jnp.where(norm[:, None] > 0, vvec / jnp.maximum(norm, 1e-30)[:, None], 0.0)
+    ray_length = jnp.minimum(norm, cfg.max_ray_length)
+    dec_amount_ray = cfg.cleanup_step / (ray_length / cfg.max_ray_length)
+
+    steps = (jnp.arange(1, n_steps + 1, dtype=dt)) * step   # == the scan's
+
+    # live-step count per ray: steps[m] < ray_length (searchsorted 'left'
+    # performs the identical f32 `<` compares) intersected with the endpoint
+    # trim steps[m] <= norm - sqrt(0.1) + step. The +step slack guarantees no
+    # sample the scan's d >= 0.1 test would accept is dropped: d differs from
+    # (norm - s)^2 only by rdir-normalization rounding (~1e-6 relative).
+    k1 = jnp.searchsorted(steps, ray_length, side="left")
+    k2 = jnp.searchsorted(steps, norm - jnp.sqrt(jnp.asarray(0.1, dt)) + step,
+                          side="right")
+    k = jnp.where(assoc.valid, jnp.minimum(k1, k2), 0).astype(jnp.int32)
+    offsets = jnp.cumsum(k)                # inclusive
+    starts = offsets - k                   # non-decreasing segment starts
+    total = offsets[-1]
+
+    # Per-ray data the chunk body needs, packed as ROWS of one (8, N) table
+    # so the per-sample gather is a single packed column gather (measured on
+    # v5e @4M ids: (8,N)[:, ray] 23.6 ms vs rdir[ray]+p[ray]+2 scalar gathers
+    # 265 ms — the (F,3) row-gather layout pads the 3-wide minor dim to full
+    # lanes). Row 7 carries ``starts mod 2^20`` as f32 (exact: < 2^20), from
+    # which the in-ray step index is recovered with wraparound-corrected
+    # integer arithmetic — starts itself can exceed f32's exact-int range.
+    _MOD = 1 << 20
+    raytbl = jnp.stack(
+        [
+            rdir[:, 0], rdir[:, 1], rdir[:, 2],
+            p[:, 0], p[:, 1], p[:, 2],
+            dec_amount_ray,
+            (starts % _MOD).astype(dt),
+        ],
+        axis=0,
+    )
+
+    # worst case K = max_points * n_steps; small configs get one right-sized
+    # chunk instead of the full memory-knob chunk
+    chunk = min(int(cfg.raycast_flat_chunk),
+                _next_pow2(max(n_rays * n_steps, 1024)))
+
+    half_n = jnp.asarray(0.5 * n, dt)
+    inv_res = jnp.asarray(1.0 / cfg.resolution, dt)
+
+    def _cell_idx_planar(cx, cy):
+        """Bit-identical inline of geometry.cell_indices on planar coords
+        (center == 0, so the reference's (x - c) subtraction is a no-op)."""
+        ix = jnp.clip(jnp.trunc(cx / cfg.resolution + half_n).astype(jnp.int32), 0, n - 1)
+        iy = jnp.clip(jnp.trunc(cy / cfg.resolution + half_n).astype(jnp.int32), 0, n - 1)
+        return n * ix + iy, ix, iy
+
+    zero_cells = jnp.zeros((n * n,), dt)
+    init = (
+        jnp.zeros((), jnp.int32),                       # chunk counter
+        zero_cells,                                     # Σ validity decrement
+        zero_cells,                                     # Σ variance add
+        jnp.full((n * n,), jnp.inf, dt),                # min upper-bound cand.
+    )
+
+    def cond(carry):
+        return carry[0] * chunk < total
+
+    def body(carry):
+        j, dec, var, ubmin = carry
+        lo = j * chunk
+        ids = lo + jnp.arange(chunk, dtype=jnp.int32)
+        live = ids < total
+
+        # owner ray of flat id = last ray with start <= id: rays fully
+        # before the chunk via one scalar search, in-chunk starts via
+        # scatter(+1 at start) → prefix sum
+        base = jnp.searchsorted(starts, lo, side="left").astype(jnp.int32)
+        pos = starts - lo
+        in_chunk = (pos >= 0) & (pos < chunk)
+        ind = jnp.zeros((chunk,), jnp.int32).at[
+            jnp.where(in_chunk, pos, 0)
+        ].add(jnp.where(in_chunk, 1, 0))
+        ray = jnp.clip(base + jnp.cumsum(ind) - 1, 0, n_rays - 1)
+
+        row8 = raytbl[:, ray]                             # (8, F) one gather
+        rdx, rdy, rdz = row8[0], row8[1], row8[2]
+        pex, pey, pez = row8[3], row8[4], row8[5]
+        dec_amount = row8[6]
+        # in-ray step index from the mod-2^20 residues (exact int arithmetic
+        # in f32; m <= n_steps << 2^20 so one wraparound correction suffices)
+        ids_mod = (ids % _MOD).astype(dt)
+        m_f = ids_mod - row8[7]
+        m_f = jnp.where(m_f < 0, m_f + _MOD, m_f)
+        m = jnp.clip(m_f.astype(jnp.int32), 0, n_steps - 1)
+
+        s_cur = (m + 1).astype(dt) * step                 # == steps[m]
+        sx = t[0] + rdx * s_cur
+        sy = t[1] + rdy * s_cur
+        nz = t[2] + rdz * s_cur
+        nidx, ix, iy = _cell_idx_planar(sx, sy)
+        # same-cell dedup vs the previous step's cell (the scan's `last`
+        # carry): the previous sample of the same ray is the ADJACENT flat
+        # id, so shift nidx by one; ray starts (m == 0) are fresh by
+        # definition, leaving only the chunk's first element to recompute.
+        s_p0 = m[:1].astype(dt) * step                    # == steps[m0 - 1]
+        p0idx, _, _ = _cell_idx_planar(t[0] + rdx[:1] * s_p0,
+                                       t[1] + rdy[:1] * s_p0)
+        pn = jnp.concatenate([p0idx, nidx[:-1]])
+        fresh = (m == 0) | (nidx != pn)
+        inside = (ix > 0) & (ix < n - 1) & (iy > 0) & (iy < n - 1)
+        d = ((pex - sx) ** 2 + (pey - sy) ** 2) + (pez - nz) ** 2
+        active = live & fresh & inside & (d >= 0.1)
+
+        row = pack[:, nidx]                               # (7, F) one gather
+        ub_cond = nz < row[2]
+        write_ub_a = active & (row[3] == 1.0) & ub_cond
+        penet = row[0] > nz + 0.01 - row[1]
+        product = rdx * row[4] + rdy * row[5] + rdz * row[6]
+        not_vertical = jnp.abs(product) >= cfg.cleanup_cos_thresh
+        hit = active & (row[3] == 2.0) & penet & not_vertical
+
+        adds = scatter.scatter_add_streams_2d(
+            n,
+            n,
+            nidx,
+            [
+                jnp.where(hit, dec_amount, 0.0).astype(dt),
+                jnp.ones_like(dec_amount),  # hit count; masked by `hit`
+            ],
+            hit,
+            exact=(False, True),
+        ).reshape(2, -1)
+        dec = dec + adds[0]
+        var = var + adds[1] * cfg.outlier_variance
+
+        write_ub = write_ub_a | (hit & ub_cond)
+        # exact per-cell min via a 2-key sort instead of an XLA scatter-min
+        # (measured on v5e @4M samples: sort 12 ms vs scatter-min 31 ms, and
+        # min is order-free so the result is bit-identical): masked samples
+        # carry +inf so they sink to each cell run's tail, then every cell
+        # reads its run head with a vectorized binary search (40k queries
+        # into the sorted 4M — negligible).
+        key2 = jnp.where(write_ub, nz, jnp.inf)
+        skey, snz = jax.lax.sort((nidx, key2), num_keys=2)
+        cells = jnp.arange(n * n, dtype=nidx.dtype)
+        pos = jnp.searchsorted(skey, cells, side="left")
+        posc = jnp.minimum(pos, chunk - 1)
+        cellmin = jnp.where(skey[posc] == cells, snz[posc], jnp.inf)
+        ubmin = jnp.minimum(ubmin, cellmin)
+        return (j + 1, dec, var, ubmin)
+
+    _, dec, var, ubmin = jax.lax.while_loop(cond, body, init)
 
     flat = layers.reshape(7, -1)
     flat = flat.at[2].add(-dec)

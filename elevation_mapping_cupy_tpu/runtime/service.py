@@ -42,6 +42,48 @@ class SensorFrame:
     distortion_model: str = "radtan"
     stamp: float = 0.0
 
+    @classmethod
+    def from_pointcloud2(
+        cls,
+        data: bytes,
+        n_points: int,
+        point_step: int,
+        offsets: Sequence[int],
+        channels: Sequence[str],
+        R: np.ndarray,
+        t: np.ndarray,
+        stamp: float = 0.0,
+    ) -> "SensorFrame":
+        """Build a pointcloud frame from raw interleaved PointCloud2-style
+        bytes — the reference's per-point deinterleave hot loop
+        (elevation_mapping_ros.cpp:330-339), run through the native C++
+        kernel (runtime/native/pointcloud_native.cc) with non-finite xyz
+        rows dropped, exactly like the reference's NaN skip.
+
+        ``offsets`` are the byte offsets of the float32 fields within each
+        ``point_step``-byte record, ordered as ``channels`` (x, y, z first).
+        """
+        from . import native
+
+        mat = native.deinterleave(data, n_points, point_step, offsets)
+        return cls(
+            kind="pointcloud",
+            channels=tuple(channels),
+            data=mat,
+            R=np.asarray(R, np.float32),
+            t=np.asarray(t, np.float32),
+            stamp=stamp,
+        )
+
+
+# raw-frame ring header: magic, stamp, n_points, point_step, n_fields,
+# 16x field offset, row-major R, t, channel-string length (names follow,
+# comma-joined, within the ring's fixed header slot)
+_RAW_HDR = "<4sd3i16i9f3fi"
+import struct as _struct
+
+_RAW_HDR_FIXED = _struct.calcsize(_RAW_HDR)
+
 
 @dataclasses.dataclass
 class Publisher:
@@ -209,6 +251,8 @@ class MappingService:
         self.initialize_points_provider: Optional[Callable[[], np.ndarray]] = None
         # named sensors from the config's `subscribers:` block
         self.subscribers: Dict[str, SubscriberConfig] = {}
+        # optional zero-copy raw ingest ring (enable_raw_ingest)
+        self._ring = None
 
     @classmethod
     def from_config(cls, yaml_path: str, **kw) -> "MappingService":
@@ -274,6 +318,90 @@ class MappingService:
             self.stats.frames_dropped += 1
             return False
 
+    def enable_raw_ingest(
+        self,
+        capacity: int = 16,
+        slab_bytes: int = 8 << 20,
+        drop_oldest: bool = False,
+        header_bytes: int = 256,
+    ) -> None:
+        """Route raw sensor bytes through the native bounded frame ring
+        (runtime/native/frame_ring.cc): producer threads memcpy the
+        interleaved record block into a preallocated slab (no Python-object
+        churn, ROS queue_size drop semantics), and the single consumer
+        (spin_once) runs the native deinterleave hot loop at drain time —
+        the reference's PointCloud2→Eigen conversion
+        (elevation_mapping_ros.cpp:330-339) moved off the producer thread."""
+        from .native import FrameRing
+
+        self._ring = FrameRing(
+            capacity=capacity, slab_bytes=slab_bytes,
+            header_bytes=header_bytes, drop_oldest=drop_oldest,
+        )
+
+    def enqueue_raw_pointcloud(
+        self,
+        data: bytes,
+        n_points: int,
+        point_step: int,
+        offsets: Sequence[int],
+        channels: Sequence[str],
+        R: np.ndarray,
+        t: np.ndarray,
+        stamp: float = 0.0,
+        subscriber: Optional[str] = None,
+    ) -> bool:
+        """Non-blocking raw-bytes enqueue into the native ring (requires
+        enable_raw_ingest). The payload is the interleaved record block as it
+        arrives from the sensor transport; deinterleaving happens in
+        spin_once via the native kernel."""
+        if self._ring is None:
+            raise RuntimeError("call enable_raw_ingest() first")
+        if subscriber is not None:
+            sc = self.subscribers.get(subscriber)
+            if sc is None or sc.data_type != "pointcloud":
+                self.stats.frames_dropped += 1
+                return False
+            if not channels:
+                channels = sc.channels
+        offs = list(offsets) + [0] * (16 - len(offsets))
+        names = ",".join(channels).encode()
+        header = _struct.pack(
+            _RAW_HDR, b"PC2\0", float(stamp), int(n_points), int(point_step),
+            len(offsets), *offs,
+            *np.asarray(R, np.float32).reshape(9),
+            *np.asarray(t, np.float32).reshape(3),
+            len(names),
+        ) + names
+        if len(header) > self._ring.header_bytes:
+            raise ValueError(
+                f"channel names too long for {self._ring.header_bytes}-byte header"
+            )
+        payload = np.frombuffer(data, np.uint8) if isinstance(data, (bytes, bytearray)) else np.ascontiguousarray(data, np.uint8)
+        ok = self._ring.push(header, payload)
+        if not ok:
+            self.stats.frames_dropped += 1
+        return ok
+
+    def _pop_raw_frame(self) -> Optional[SensorFrame]:
+        item = self._ring.pop() if self._ring is not None else None
+        if item is None:
+            return None
+        header, payload = item
+        fixed = _struct.unpack(_RAW_HDR, header[:_RAW_HDR_FIXED])
+        magic, stamp, n_points, point_step, n_fields = fixed[0], fixed[1], fixed[2], fixed[3], fixed[4]
+        if magic != b"PC2\0":
+            self.stats.frames_dropped += 1
+            return None
+        offs = fixed[5 : 5 + n_fields]
+        R = np.asarray(fixed[21:30], np.float32).reshape(3, 3)
+        t = np.asarray(fixed[30:33], np.float32)
+        name_len = fixed[33]
+        channels = header[_RAW_HDR_FIXED : _RAW_HDR_FIXED + name_len].decode().split(",")
+        return SensorFrame.from_pointcloud2(
+            payload, n_points, point_step, offs, channels, R, t, stamp
+        )
+
     def update_pose(self, position: np.ndarray, R: np.ndarray) -> None:
         """Pose stream: lowpass → position/orientation noise for the drift
         gate (elevation_mapping_ros.cpp:480-492), then recenter the map."""
@@ -308,10 +436,14 @@ class MappingService:
         now = time.monotonic() if now is None else now
         processed = 0
         while True:
-            try:
-                frame = self.queue.get_nowait()
-            except queue.Empty:
-                break
+            # raw ring first (native deinterleave at drain time), then the
+            # regular SensorFrame queue
+            frame = self._pop_raw_frame()
+            if frame is None:
+                try:
+                    frame = self.queue.get_nowait()
+                except queue.Empty:
+                    break
             t0 = time.perf_counter()
             if frame.kind == "pointcloud":
                 self.mapper.input_pointcloud(

@@ -64,19 +64,18 @@ def terrain_height(x, y):
     return h.astype(np.float32)
 
 
-def lidar_frame(rng, n=20000):
-    """Simulated LiDAR scan of the terrain with a grass score channel.
-    Points are in the SENSOR frame (world = R @ p + t, sensor at z=0.8)."""
+def lidar_frame_raw(rng, n=20000):
+    """Simulated LiDAR scan as RAW interleaved sensor bytes (PointCloud2
+    layout: x,y,z,grass float32 records) — exercised through the native
+    ring + deinterleave ingest path. Points are in the SENSOR frame
+    (world = R @ p + t, sensor at z=0.8)."""
     pts = np.zeros((n, 4), np.float32)
     pts[:, 0] = rng.uniform(-1.9, 1.9, n)
     pts[:, 1] = rng.uniform(-1.9, 1.9, n)
     world_z = terrain_height(pts[:, 0], pts[:, 1]) + rng.normal(0, 0.005, n)
     pts[:, 2] = world_z - 0.8
     pts[:, 3] = np.where(world_z < 0.1, 0.9, 0.1)  # ground is grassy
-    return SensorFrame(
-        kind="pointcloud", channels=(), data=pts,
-        R=np.eye(3, dtype=np.float32), t=np.array([0, 0, 0.8], np.float32),
-    )
+    return pts.tobytes(), n
 
 
 def camera_frame():
@@ -106,14 +105,23 @@ def main():
     published = {}
     svc.set_publisher_callback("elevation_map_raw", published.update)
 
-    # stream 10 ticks of both sensors
+    # stream 10 ticks of both sensors; the lidar arrives as raw interleaved
+    # bytes through the native ring (the reference's PointCloud2 hot loop)
+    svc.enable_raw_ingest(capacity=8, slab_bytes=2 << 20)
+    R_l = np.eye(3, dtype=np.float32)
+    t_l = np.array([0, 0, 0.8], np.float32)
     for i in range(10):
-        svc.enqueue(lidar_frame(rng), subscriber="front_lidar")
+        raw, n_pts = lidar_frame_raw(rng)
+        svc.enqueue_raw_pointcloud(
+            raw, n_pts, 16, [0, 4, 8, 12], [], R_l, t_l,
+            stamp=0.2 * i, subscriber="front_lidar",
+        )
         if i % 3 == 0:
             svc.enqueue(camera_frame(), subscriber="color_cam")
         svc.spin_once(now=0.2 * (i + 1))
     print(f"pointcloud fps: {svc.stats.pointcloud_process_fps:.1f}, "
-          f"dropped: {svc.stats.frames_dropped}")
+          f"dropped: {svc.stats.frames_dropped}, "
+          f"ring: {svc._ring.stats()}")
     print(f"published layers: {sorted(published)}")
 
     # services — submap in a 45-degree-rotated request frame

@@ -69,6 +69,51 @@ def test_polar_matches_exact_in_aggregate(rng, slope_from_bins):
         assert np.median(np.abs(a[5][both] - b[5][both])) < 0.05
 
 
+def test_exact_flat_matches_exact_scan(rng):
+    """The compacted flat march must reproduce the step-serialized scan:
+    identical per-sample semantics, only chunk-major summation order differs
+    (bounded well inside the recorded-fixture atol). Exercised dense (many
+    contributions/cell) and with a tiny chunk to force many while-loop trips."""
+    cfg = MapConfig(
+        resolution=0.05, map_length=4.0, max_ray_length=2.5, max_points=20000,
+        enable_drift_compensation=False,
+    )
+    w = default_weights()
+    R = jnp.eye(3)
+    t3 = np.array([0, 0, 0.6], np.float32)
+    z0 = jnp.float32(0)
+    state = init_state(cfg)
+    for _ in range(2):
+        pts = rng.uniform(-1.8, 1.8, (20000, 3)).astype(np.float32)
+        pts[:, 2] = rng.uniform(-0.15, 0.25, 20000)
+        state = core.update_pointcloud(
+            state, jnp.asarray(pts), jnp.ones(20000, bool), R, jnp.asarray(t3),
+            z0, z0, w, cfg,
+        )
+    for _ in range(7):
+        state = core.update_time(state, cfg)
+    pts = rng.uniform(-1.8, 1.8, (20000, 3)).astype(np.float32)
+    pts[:, 2] = -0.55
+    t_c = jnp.asarray(t3) - state.center
+    assoc = associate_points(jnp.asarray(pts), jnp.ones(20000, bool), R, t_c, cfg)
+    counts = pcops.error_counting(state.layers, assoc, cfg)
+    layers, _ = pcops.point_fusion(state.layers, assoc, counts.point_cnt, cfg)
+
+    a = np.asarray(rc._exact_scan(layers, state.normal, assoc, counts.inlier_cnt, t_c, cfg))
+    b = np.asarray(rc._exact_flat(layers, state.normal, assoc, counts.inlier_cnt, t_c, cfg))
+    np.testing.assert_allclose(b, a, atol=5e-5)
+    # upper-bound layers are min-reductions: order-exact
+    np.testing.assert_array_equal(b[5], a[5])
+    np.testing.assert_array_equal(b[6], a[6])
+    # many-chunk execution path
+    c = np.asarray(rc._exact_flat(
+        layers, state.normal, assoc, counts.inlier_cnt, t_c,
+        cfg.replace(raycast_flat_chunk=4096),
+    ))
+    np.testing.assert_allclose(c, a, atol=5e-5)
+    np.testing.assert_array_equal(c[5], a[5])
+
+
 def test_polar_trajectory_divergence_bound(rng, tmp_path):
     """Trajectory-level (24-frame, recentering) polar-vs-exact bound.
 

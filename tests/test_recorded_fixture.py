@@ -39,3 +39,19 @@ def test_engine_matches_deployed_fixture():
         "python -m tests.make_recorded_fixture",
     )
     np.testing.assert_allclose(normal, rec["normal"], atol=1e-5)
+
+
+def test_flat_exact_march_matches_deployed_fixture():
+    """The compacted flat exact march (raycast_exact_impl='flat') pinned to
+    the SAME recorded bytes as the scan march: at this fixture's density the
+    two are bit-identical (verified at recording time), so the fixture is a
+    tamper detector for the flat path's expansion/dedup machinery too."""
+    rec = np.load(FIXTURE_DEPLOYED)
+    layers, normal = run_pinned(
+        lambda: deployed_config().replace(raycast_exact_impl="flat")
+    )
+    np.testing.assert_allclose(
+        layers, rec["layers"], atol=1e-5,
+        err_msg="flat exact march drifted from the recorded scan-march bytes",
+    )
+    np.testing.assert_allclose(normal, rec["normal"], atol=1e-5)

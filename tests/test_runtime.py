@@ -245,6 +245,79 @@ def test_native_frame_ring(rng):
             ring.push(b"x", np.zeros(4097, np.uint8))
 
 
+def test_raw_ingest_end_to_end(rng):
+    """Raw interleaved PointCloud2-style bytes → native ring → native
+    deinterleave → map update must equal the direct SensorFrame path
+    (the reference's hot loop, elevation_mapping_ros.cpp:330-339)."""
+    n_pts = 700
+    pts = rng.uniform(-0.9, 0.9, (n_pts, 3)).astype(np.float32)
+    pts[:, 2] = rng.uniform(-0.1, 0.2, n_pts).astype(np.float32)
+    intensity = rng.uniform(0, 1, n_pts).astype(np.float32)
+
+    # interleave as x,y,z,pad,intensity records (20-byte point_step) and
+    # poison a few records with NaN — the native path must drop them
+    rec = np.zeros((n_pts, 5), np.float32)
+    rec[:, :3] = pts
+    rec[:, 4] = intensity
+    bad = np.array([3, 77, 500])
+    rec[bad, 1] = np.nan
+    raw = rec.tobytes()
+
+    R = np.eye(3, dtype=np.float32)
+    t = np.array([0, 0, 0.5], np.float32)
+    svc = MappingService(CFG.replace(enable_visibility_cleanup=False))
+    svc.enable_raw_ingest(capacity=4, slab_bytes=1 << 20)
+    assert svc.enqueue_raw_pointcloud(
+        raw, n_pts, 20, [0, 4, 8, 16], ["x", "y", "z", "intensity"], R, t,
+        stamp=1.5,
+    )
+    assert svc.spin_once(now=1.0) == 1
+    assert svc.stats.frames_processed == 1
+
+    keep = np.ones(n_pts, bool)
+    keep[bad] = False
+    direct = MappingService(CFG.replace(enable_visibility_cleanup=False))
+    mat = np.concatenate([pts[keep], intensity[keep, None]], axis=1)
+    direct.enqueue(SensorFrame(
+        kind="pointcloud", channels=("x", "y", "z", "intensity"),
+        data=mat, R=R, t=t,
+    ))
+    direct.spin_once(now=1.0)
+
+    n = svc.mapper.cell_n - 2
+    a = np.zeros((n, n), np.float32)
+    b = np.zeros((n, n), np.float32)
+    svc.mapper.get_map_with_name_ref("elevation", a)
+    direct.mapper.get_map_with_name_ref("elevation", b)
+    np.testing.assert_array_equal(np.nan_to_num(a), np.nan_to_num(b))
+
+    # backpressure: a full ring drops (queue_size semantics) and counts it
+    svc2 = MappingService(CFG)
+    svc2.enable_raw_ingest(capacity=2, slab_bytes=1 << 20)
+    results = [
+        svc2.enqueue_raw_pointcloud(
+            raw, n_pts, 20, [0, 4, 8, 16], ["x", "y", "z", "intensity"], R, t)
+        for _ in range(4)
+    ]
+    assert results == [True, True, False, False]
+    assert svc2.stats.frames_dropped == 2
+
+    # subscriber wiring: channels fall back to the configured list
+    svc3 = MappingService(CFG.replace(enable_visibility_cleanup=False))
+    from elevation_mapping_cupy_tpu.runtime.service import parse_subscribers
+    svc3.subscribers = parse_subscribers(
+        {"front_lidar": {"data_type": "pointcloud", "topic_name": "/pc"}}
+    )
+    svc3.enable_raw_ingest()
+    assert svc3.enqueue_raw_pointcloud(
+        raw, n_pts, 20, [0, 4, 8], [], R, t, subscriber="front_lidar",
+    )
+    assert svc3.spin_once(now=1.0) == 1
+    assert not svc3.enqueue_raw_pointcloud(
+        raw, n_pts, 20, [0, 4, 8], [], R, t, subscriber="nope",
+    )
+
+
 def test_get_submap_asymmetric_region(rng):
     """get_submap must return the terrain at the queried world position, not
     its mirror image (the export is double-flipped)."""
