@@ -134,6 +134,38 @@ def bench_scaling() -> None:
         lat.append(time.perf_counter() - t0)
     tn = float(np.median(lat))
 
+    # COMPOSED env x spatial (BASELINE config #5 literally): a batch of
+    # spatially-sharded maps on an (env, rows) mesh — here the halo
+    # exchanges MUST be live (collectives > 0 is the demonstration)
+    from elevation_mapping_cupy_tpu.parallel.spatial import (
+        batched_spatial_update_pointcloud, shard_states_spatial_batched,
+    )
+
+    ne = 2
+    mesh_ex = make_mesh((ne, n_dev // ne), ("env", "x"),
+                        devices=jax.devices()[:n_dev])
+    # map extent divisible by the row axis: 8.08 m @0.08 -> cell_n = 103+...
+    comp_cfg = MapConfig(resolution=0.08, map_length=7.84, max_points=n_points)
+    assert comp_cfg.cell_n % (n_dev // ne) == 0
+    Bc = int(os.environ.get("BENCH_COMPOSED_BATCH", 8))
+    comp_states = shard_states_spatial_batched(
+        init_batch(comp_cfg, Bc), mesh_ex, "env", "x")
+    comp_step = batched_spatial_update_pointcloud(mesh_ex, comp_cfg, "env", "x")
+    cargs = (pts[:Bc], mask[:Bc], R[:Bc], t[:Bc], z[:Bc], z[:Bc])
+    chlo = comp_step.lower(comp_states, *cargs, w).compile().as_text()
+    c_coll = sum(chlo.count(op) for op in
+                 ("all-reduce", "all-gather", "collective-permute",
+                  "reduce-scatter", "all-to-all"))
+    comp_out = comp_step(comp_states, *cargs, w)
+    _ = float(jnp.sum(comp_out.layers[:, 2]))
+    lat_c = []
+    for _i in range(max(iters // 2, 3)):
+        t0 = time.perf_counter()
+        comp_out = comp_step(comp_out, *cargs, w)
+        _ = float(jnp.sum(comp_out.layers[:, 2]))
+        lat_c.append(time.perf_counter() - t0)
+    tc = float(np.median(lat_c))
+
     print(json.dumps({
         "metric": f"env-sharded step collective ops ({n_dev} devices)",
         "value": n_coll,
@@ -144,7 +176,15 @@ def bench_scaling() -> None:
                   "maps_per_s_virtual_mesh": round(B / tn, 1),
                   "note": "virtual CPU devices share host cores; throughput "
                           "here is context, not a scaling claim",
-                  "backend": "virtual-cpu-mesh"},
+                  "backend": "virtual-cpu-mesh",
+                  "composed_env_x_spatial": {
+                      "mesh": [ne, n_dev // ne],
+                      "batch": Bc,
+                      "cell_n": comp_cfg.cell_n,
+                      "collectives_per_step": c_coll,
+                      "halo_exchange_live": c_coll > 0,
+                      "maps_per_s_virtual_mesh": round(Bc / tc, 1),
+                  }},
     }))
 
 

@@ -27,7 +27,13 @@ from ..config import MapConfig
 from ..nn.traversability import TravWeights
 from ..state import MapState
 
-__all__ = ["spatial_sharding", "shard_state_spatial", "spatial_update_pointcloud"]
+__all__ = [
+    "spatial_sharding",
+    "shard_state_spatial",
+    "spatial_update_pointcloud",
+    "shard_states_spatial_batched",
+    "batched_spatial_update_pointcloud",
+]
 
 
 def spatial_sharding(
@@ -114,3 +120,102 @@ def spatial_update_pointcloud(
     # sharding the state is the dominant HBM cost per shard, and callers
     # step it functionally (state = step(state, ...))
     return jax.jit(sharded_step, donate_argnums=0)
+
+
+def shard_states_spatial_batched(
+    states: MapState,
+    mesh: Mesh,
+    env_axis: str = "env",
+    axis: str = "x",
+    col_axis: Optional[str] = None,
+) -> MapState:
+    """Place a BATCH of spatially-sharded maps over an (env, rows[, cols])
+    mesh: the fleet-of-robots-with-large-maps layout (BASELINE config #5
+    composed literally — env batching x spatial sharding x halo exchange).
+    Map-shaped leaves are (B, C, H, W): B over ``env_axis``, H over ``axis``
+    (and W over ``col_axis``); per-env scalars shard over ``env_axis``."""
+    b = states.layers.shape[0]
+    ne = mesh.shape[env_axis]
+    if b % ne:
+        raise ValueError(f"batch {b} not divisible by mesh axis {env_axis!r} ({ne})")
+    for ax_name, dim in ((axis, 2), (col_axis, 3)):
+        if ax_name is None:
+            continue
+        n = mesh.shape[ax_name]
+        if states.layers.shape[dim] % n:
+            raise ValueError(
+                f"spatial sharding needs the map extent ({states.layers.shape[dim]}"
+                f" = cell_n) divisible by mesh axis {ax_name!r} ({n})"
+            )
+    tile = NamedSharding(mesh, P(env_axis, None, axis, col_axis))
+
+    def put(x):
+        if x.ndim == 4:
+            return jax.device_put(x, tile)
+        spec = P(env_axis, *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, states)
+
+
+def batched_spatial_update_pointcloud(
+    mesh: Mesh,
+    cfg: MapConfig,
+    env_axis: str = "env",
+    axis: str = "x",
+    channels: tuple = (),
+    col_axis: Optional[str] = None,
+):
+    """Jitted update for a BATCH of spatially-sharded maps on an
+    (env, rows[, cols]) mesh — env batching composed with spatial sharding.
+
+    The step is the vmapped core update with GSPMD sharding constraints:
+    stencils / the traversability CNN / recentering rolls get their
+    cross-row halo exchanges from XLA exactly as in the unbatched spatial
+    path, and every map-shaped scatter routes through the shard-local MXU
+    path — the scatter shard_map composes with vmap (the Pallas kernel's
+    custom-vmap rule turns the per-shard batch into ONE kernel launch with
+    grid (B_local, chunks)).
+
+    Inputs mirror ``parallel.batch.batched_update``: states (B, ...) pytree
+    (donated), points (B, N, 3[+C]), pad_mask (B, N), R (B, 3, 3), t (B, 3),
+    noises (B,). Reference analogue: the single fixed 8 m window the CuPy
+    engine never lifted (elevation_mapping.py:200-215) — here a fleet of
+    robots each with a city-block-scale map.
+    """
+    tile = NamedSharding(mesh, P(env_axis, None, axis, col_axis))
+    env_only = NamedSharding(mesh, P(env_axis))
+
+    def constrain(states):
+        def c(x):
+            if x.ndim == 4:
+                return jax.lax.with_sharding_constraint(x, tile)
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P(env_axis, *([None] * (x.ndim - 1))))
+            )
+        # keep empty semantic stacks unconstrained (S may be 0)
+        out = states._replace(
+            layers=c(states.layers), normal=c(states.normal),
+            center=c(states.center), rotation=c(states.rotation),
+            mean_error=c(states.mean_error),
+            additive_mean_error=c(states.additive_mean_error),
+        )
+        if states.semantic.size:
+            out = out._replace(
+                semantic=c(states.semantic), sem_new=c(states.sem_new),
+                id_max=c(states.id_max),
+            )
+        return out
+
+    def step(states, points, pad_mask, R, t, pn, on, weights):
+        from .sharded_scatter import sharded_scatter_ctx
+
+        points = jax.lax.with_sharding_constraint(points, env_only)
+        with sharded_scatter_ctx(mesh, axis, col_axis):
+            fn = lambda s, p, m, r, tt, pn1, on1: core._update_impl(
+                s, p, m, r, tt, pn1, on1, weights, cfg, tuple(channels)
+            )
+            out = jax.vmap(fn)(constrain(states), points, pad_mask, R, t, pn, on)
+            return constrain(out)
+
+    return jax.jit(step, donate_argnums=0)

@@ -282,6 +282,101 @@ def test_spatial_semantic_matches_unsharded(rng):
                                atol=1e-4)
 
 
+@pytest.mark.parametrize("mesh_spec", [
+    ((2, 4), ("env", "x"), None),          # fleet of row-sharded maps
+    ((2, 2, 2), ("env", "x", "y"), "y"),   # fleet of 2D-tiled maps
+])
+def test_batched_spatial_matches_sequential(rng, mesh_spec):
+    """Env batching COMPOSED with spatial sharding (BASELINE config #5
+    literally): a batch of B maps on an (env, rows[, cols]) mesh must equal
+    the per-env unsharded update."""
+    from elevation_mapping_cupy_tpu.parallel.spatial import (
+        batched_spatial_update_pointcloud, shard_states_spatial_batched,
+    )
+
+    shape, names, col_axis = mesh_spec
+    mesh = make_mesh(shape, names)
+    cfg = MapConfig(resolution=0.1, map_length=2.2, max_ray_length=0.5,
+                    max_points=512)   # cell_n=24: divisible by 2 and 4
+    B = 4
+    w = default_weights()
+    pts, mask, R, t, z = make_batch_inputs(rng, B, cfg.max_points)
+
+    states = shard_states_spatial_batched(
+        init_batch(cfg, B), mesh, "env", "x", col_axis)
+    step = batched_spatial_update_pointcloud(mesh, cfg, "env", "x",
+                                             col_axis=col_axis)
+    out = step(states, jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(R),
+               jnp.asarray(t), jnp.asarray(z), jnp.asarray(z), w)
+    jax.block_until_ready(out)
+    assert len(out.layers.sharding.device_set) == 8
+    for b in range(B):
+        single = core.update_pointcloud(
+            init_state(cfg), jnp.asarray(pts[b]), jnp.asarray(mask[b]),
+            jnp.asarray(R[b]), jnp.asarray(t[b]), jnp.float32(0),
+            jnp.float32(0), w, cfg,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.layers[b]), np.asarray(single.layers), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.normal[b]), np.asarray(single.normal), atol=1e-5
+        )
+
+
+def test_batched_spatial_semantic_and_move(rng):
+    """The composed path also carries MEM semantic channels and recentering
+    (roll crosses shard boundaries — SURVEY §7 hard part #5)."""
+    from elevation_mapping_cupy_tpu.parallel.spatial import (
+        batched_spatial_update_pointcloud, shard_states_spatial_batched,
+    )
+    from elevation_mapping_cupy_tpu.parallel import batched_move_to
+
+    channels = ("grass",)
+    cfg = MapConfig(resolution=0.1, map_length=2.2, max_ray_length=0.5,
+                    max_points=512, semantic_layers=channels)
+    mesh = make_mesh((2, 4), ("env", "x"))
+    B = 2
+    w = default_weights()
+    n = cfg.max_points
+    pts = rng.uniform(-0.9, 0.9, (B, n, 4)).astype(np.float32)
+    pts[..., 2] = rng.uniform(-0.1, 0.3, (B, n)).astype(np.float32)
+    pts[..., 3] = rng.uniform(0, 1, (B, n)).astype(np.float32)
+    mask = np.ones((B, n), bool)
+    R = np.broadcast_to(np.eye(3, dtype=np.float32), (B, 3, 3)).copy()
+    t = np.tile(np.array([0, 0, 0.5], np.float32), (B, 1))
+    z = np.zeros((B,), np.float32)
+
+    states = shard_states_spatial_batched(init_batch(cfg, B), mesh, "env", "x")
+    step = batched_spatial_update_pointcloud(mesh, cfg, "env", "x",
+                                             channels=channels)
+    out = step(states, jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(R),
+               jnp.asarray(t), jnp.asarray(z), jnp.asarray(z), w)
+    # recenter the whole sharded fleet (GSPMD handles the cross-shard roll)
+    moved = batched_move_to(
+        out, jnp.asarray(np.tile(np.array([0.35, -0.15, 0], np.float32), (B, 1))),
+        jnp.asarray(R), cfg,
+    )
+    jax.block_until_ready(moved)
+
+    for b in range(B):
+        single = core.update_pointcloud_semantic(
+            init_state(cfg), jnp.asarray(pts[b]), jnp.asarray(mask[b]),
+            jnp.asarray(R[b]), jnp.asarray(t[b]), jnp.float32(0),
+            jnp.float32(0), w, cfg, channels,
+        )
+        single = core.move_to(
+            single, jnp.asarray(np.array([0.35, -0.15, 0], np.float32)),
+            jnp.asarray(R[b]), cfg,
+        )
+        np.testing.assert_allclose(
+            np.asarray(moved.layers[b]), np.asarray(single.layers), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(moved.semantic[b]), np.asarray(single.semantic), atol=1e-4
+        )
+
+
 def test_spatial_sharding_rejects_indivisible_rows():
     from elevation_mapping_cupy_tpu.parallel.spatial import shard_state_spatial
 
