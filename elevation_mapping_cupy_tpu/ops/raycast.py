@@ -12,6 +12,7 @@ per tests/golden/reference_numpy.py.
 
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import jax
@@ -22,6 +23,26 @@ from . import scatter
 from .geometry import PointAssociation, cell_indices, flat_cell_index, is_inside
 
 __all__ = ["visibility_cleanup", "visibility_cleanup_exact", "visibility_cleanup_polar"]
+
+
+# Routing constants measured on TPU v5e (see the `auto` rationale in
+# visibility_cleanup and the flat-vs-scan rationale in
+# visibility_cleanup_exact). Like pallas_scatter's VMEM table, they are env-
+# overridable so a different chip generation can retune WITHOUT code edits:
+#   ELEV_TPU_RAYCAST_AUTO_MAX_STEPS   — `auto` picks exact only when the
+#                                       march is at most this many steps
+#   ELEV_TPU_RAYCAST_AUTO_WORK_RATIO  — ...and march work x ratio < cube work
+#   ELEV_TPU_RAYCAST_FLAT_MIN_SAMPLES — exact impl `auto` picks the flat
+#                                       march once n_steps*max_points reaches
+#                                       this (expansion overhead amortized)
+def _env_int(name: str, default: int) -> int:
+    v = os.environ.get(name)
+    return int(v) if v else default
+
+
+_AUTO_MAX_STEPS = _env_int("ELEV_TPU_RAYCAST_AUTO_MAX_STEPS", 12)
+_AUTO_WORK_RATIO = _env_int("ELEV_TPU_RAYCAST_AUTO_WORK_RATIO", 8)
+_FLAT_MIN_SAMPLES = _env_int("ELEV_TPU_RAYCAST_FLAT_MIN_SAMPLES", 1 << 20)
 
 
 def visibility_cleanup(
@@ -49,7 +70,11 @@ def visibility_cleanup(
         # be much larger than the march.
         cube = cfg.azimuth_bins * (cfg.n_ray_steps + 2) * cfg.raycast_elevation_bins
         march = cfg.n_ray_steps * cfg.max_points
-        mode = "exact" if (cfg.n_ray_steps <= 12 and march * 8 < cube) else "polar"
+        mode = (
+            "exact"
+            if (cfg.n_ray_steps <= _AUTO_MAX_STEPS and march * _AUTO_WORK_RATIO < cube)
+            else "polar"
+        )
     if mode == "polar":
         return visibility_cleanup_polar(layers, normal, assoc, inlier_cnt, t, cfg)
     return visibility_cleanup_exact(layers, normal, assoc, inlier_cnt, t, cfg)
@@ -80,7 +105,11 @@ def visibility_cleanup_exact(
     if impl == "auto":
         # expansion machinery (cumsum + per-chunk segment-start scatter) only
         # pays for itself once the dense march exceeds ~1M raw samples
-        impl = "flat" if cfg.n_ray_steps * cfg.max_points >= (1 << 20) else "scan"
+        impl = (
+            "flat"
+            if cfg.n_ray_steps * cfg.max_points >= _FLAT_MIN_SAMPLES
+            else "scan"
+        )
     if impl == "flat":
         return _exact_flat(layers, normal, assoc, inlier_cnt, t, cfg)
     return _exact_scan(layers, normal, assoc, inlier_cnt, t, cfg)

@@ -47,6 +47,18 @@ def main() -> None:
             f"normal={nrm.tolist()}, boundary_pts={len(r.boundary_with_holes.boundary)}"
         )
 
+    # debug rendering (Draw.cpp / RosVisualizations parity): region
+    # boundaries + holes + insets over the elevation image
+    from elevation_mapping_cupy_tpu.planeseg import draw
+
+    overlay_path = os.path.join(os.path.dirname(__file__), "decomposition_overlay.png")
+    draw.save_decomposition_overlay(
+        overlay_path, terrain.elevation, terrain.regions,
+        terrain.resolution, terrain.map_origin,
+    )
+    n_markers = len(draw.boundary_markers(terrain.regions)) - 1
+    print(f"overlay written: {overlay_path} ({n_markers} boundary markers)")
+
     # project query points and grow convex footholds (the demo node's loop)
     # world frame: x = -row*res, y = -col*res from the map origin
     queries = np.array([[-2.8, -2.6], [-2.8, -4.6], [-5.9, -5.9]], np.float32)

@@ -248,3 +248,105 @@ def test_update_batch_with_resample():
     np.testing.assert_array_equal(batch.labels, seq.labels)
     np.testing.assert_allclose(batch.smooth_planar, seq.smooth_planar, atol=1e-6)
     assert np.allclose(batch.map_origin, seq.map_origin)
+
+
+def test_draw_rendering_golden():
+    """Draw.cpp / RosVisualizations parity: vertex→pixel placement, hole
+    handling, per-region palette colors, marker structure (DELETEALL lead,
+    closed rings, plane-projected z)."""
+    from elevation_mapping_cupy_tpu.planeseg.contour import (
+        BoundaryWithHoles, PlanarRegion,
+    )
+    from elevation_mapping_cupy_tpu.planeseg import draw
+
+    res = 0.1
+    origin = (0.0, 0.0)
+
+    def world(px_ring):
+        px = np.asarray(px_ring, np.float64)
+        return np.stack([origin[0] - px[:, 0] * res,
+                         origin[1] - px[:, 1] * res], axis=1)
+
+    boundary_px = [(2, 2), (2, 10), (10, 10), (10, 2)]
+    hole_px = [(5, 5), (5, 7), (7, 7), (7, 5)]
+    inset_px = [(4, 4), (4, 8), (8, 8), (8, 4)]
+    reg = PlanarRegion(
+        label=1,
+        normal=np.array([0.0, 0.0, 1.0]),
+        support=np.array([0.0, 0.0, 0.3]),
+        boundary_with_holes=BoundaryWithHoles(
+            boundary=world(boundary_px), holes=[world(hole_px)]),
+        insets=[world(inset_px)],
+    )
+    reg2 = PlanarRegion(
+        label=2, normal=np.array([0.0, 0.0, 1.0]),
+        support=np.array([0.0, 0.0, 0.0]),
+        boundary_with_holes=BoundaryWithHoles(
+            boundary=world([(12, 12), (12, 14), (14, 14), (14, 12)]), holes=[]),
+        insets=[],
+    )
+
+    elev = np.zeros((16, 16), np.float32)
+    img = draw.render_boundaries(elev, [reg, reg2], res, origin)
+    c0 = draw.region_color(0)
+    c1 = draw.region_color(1)
+    # vertices land on their exact pixels in the region color
+    for r, c in boundary_px:
+        np.testing.assert_array_equal(img[r, c], c0)
+    np.testing.assert_array_equal(img[2, 6], c0)      # edge midpoint
+    for r, c in hole_px:                              # holes share the color
+        np.testing.assert_array_equal(img[r, c], c0)
+    np.testing.assert_array_equal(img[12, 12], c1)    # 2nd region: next color
+    # ring interior is untouched underlay (black for a flat-zero map)
+    np.testing.assert_array_equal(img[3, 3], [0, 0, 0])
+    # boundary rendering does NOT draw insets
+    assert not np.array_equal(img[4, 6], c0)
+
+    ins = draw.render_insets(elev, [reg], res, origin)
+    for r, c in inset_px:
+        np.testing.assert_array_equal(ins[r, c], c0)
+    assert not np.array_equal(ins[2, 2], c0)          # and not boundaries
+
+    # marker-level parity (RosVisualizations.cpp:113-160)
+    mk = draw.boundary_markers([reg, reg2], line_width=0.01)
+    assert mk[0]["type"] == "DELETEALL"
+    assert [m["id"] for m in mk[1:]] == [1, 2, 3]     # buffer-position ids
+    b = mk[1]
+    assert b["type"] == "LINE_STRIP" and b["scale_x"] == 0.01
+    np.testing.assert_allclose(b["points"][0], b["points"][-1])  # closed
+    np.testing.assert_allclose(b["points"][:, 2], 0.3)           # plane z
+    np.testing.assert_allclose(
+        b["color"][:3], draw.REGION_COLORMAP[0], atol=1e-6)
+    np.testing.assert_allclose(
+        mk[3]["color"][:3], draw.REGION_COLORMAP[1], atol=1e-6)
+
+    imk = draw.inset_markers([reg])
+    assert imk[0]["type"] == "DELETEALL" and len(imk) == 2
+    np.testing.assert_allclose(imk[1]["points"][:, 2], 0.3)
+
+    # scaled rendering (Draw.cpp::scaleShape): vertices land at scale x px
+    img3 = draw.render_boundaries(elev, [reg], res, origin, scale=3.0)
+    assert img3.shape == (48, 48, 3)
+    np.testing.assert_array_equal(img3[6, 6], c0)
+
+
+def test_draw_overlay_roundtrip(tmp_path):
+    """save_decomposition_overlay writes a loadable image of the right size."""
+    from elevation_mapping_cupy_tpu.planeseg.contour import (
+        BoundaryWithHoles, PlanarRegion,
+    )
+    from elevation_mapping_cupy_tpu.planeseg import draw
+
+    reg = PlanarRegion(
+        label=1, normal=np.array([0, 0, 1.0]), support=np.zeros(3),
+        boundary_with_holes=BoundaryWithHoles(
+            boundary=np.array([[-0.2, -0.2], [-0.2, -1.0], [-1.0, -1.0]]),
+            holes=[]),
+        insets=[],
+    )
+    path = str(tmp_path / "overlay.png")
+    img = draw.save_decomposition_overlay(
+        path, np.zeros((16, 16), np.float32), [reg], 0.1)
+    assert img.shape == (16, 16, 3)
+    import os
+    assert os.path.exists(path) or os.path.exists(path + ".npy")

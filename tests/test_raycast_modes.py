@@ -169,3 +169,17 @@ def test_polar_trajectory_divergence_bound(rng, tmp_path):
         p99 = float(np.quantile(dt, 0.99))
         assert frac < 0.10, f"frame {k}: {frac:.3f} of cells disagree >0.1"
         assert p99 < 0.45, f"frame {k}: traversability p99 {p99:.4f}"
+
+
+def test_raycast_routing_constants_pinned_and_overridable(monkeypatch):
+    """The auto-mode routing constants are v5e-measured; pin the shipped
+    defaults and check the env override hook (same treatment as the
+    pallas_scatter VMEM table — VERDICT r2 #8). Overrides are read at
+    import time; _env_int is the hook."""
+    assert rc._AUTO_MAX_STEPS == 12
+    assert rc._AUTO_WORK_RATIO == 8
+    assert rc._FLAT_MIN_SAMPLES == 1 << 20
+    monkeypatch.setenv("ELEV_TPU_RAYCAST_AUTO_MAX_STEPS", "99")
+    assert rc._env_int("ELEV_TPU_RAYCAST_AUTO_MAX_STEPS", 12) == 99
+    monkeypatch.delenv("ELEV_TPU_RAYCAST_AUTO_MAX_STEPS")
+    assert rc._env_int("ELEV_TPU_RAYCAST_AUTO_MAX_STEPS", 12) == 12
