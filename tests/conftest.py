@@ -13,6 +13,14 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache for the CPU test backend: the config-fuzz
+# sweep compiles ~50 distinct static configs (~4 s each); cached reruns of
+# the full suite drop minutes. Same mechanism the package enables for TPU.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.expanduser("~/.cache/elevation_mapping_tpu/jax-cpu-tests"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -183,3 +183,92 @@ def test_raycast_routing_constants_pinned_and_overridable(monkeypatch):
     assert rc._env_int("ELEV_TPU_RAYCAST_AUTO_MAX_STEPS", 12) == 99
     monkeypatch.delenv("ELEV_TPU_RAYCAST_AUTO_MAX_STEPS")
     assert rc._env_int("ELEV_TPU_RAYCAST_AUTO_MAX_STEPS", 12) == 12
+
+
+# ---------------------------------------------------------------------------
+# Per-terrain polar-vs-exact fidelity (VERDICT r2 #5): structured geometries
+# where a shadow-cube approximation plausibly diverges most. Bounds are the
+# measured worst frame (12-frame replay with a transient obstacle raycast
+# must clear, seed 7) with ~1.7x headroom:
+#   terrain    iou_min  elev_max  frac(dt>0.1)  trav_p99
+#   flat       1.0000   0.0       0.0000        0.0400
+#   slope30    1.0000   0.0       0.0104        0.0866
+#   stairs     1.0000   0.0       0.0000        0.0594
+#   wall       1.0000   0.0       0.0000        0.0671
+#   overhang   1.0000   0.0       0.0008        0.0836
+# All classes hold trav_p99 < 0.15 — flat/slope comfortably under the 0.2
+# target, so no hybrid polar+exact refresh mode is needed.
+_TERRAIN_BOUNDS = {
+    # name: (iou_min, elev_max, frac_max, p99_max)
+    "flat": (0.99, 1e-3, 0.010, 0.10),
+    "slope30": (0.99, 1e-3, 0.025, 0.15),
+    "stairs": (0.99, 1e-3, 0.010, 0.12),
+    "wall": (0.99, 1e-3, 0.010, 0.12),
+    "overhang": (0.99, 1e-3, 0.010, 0.15),
+}
+
+
+def _terrain_z(name, x, y):
+    if name == "flat":
+        return np.zeros_like(x)
+    if name == "slope30":
+        return np.tan(np.deg2rad(30)) * (x + 2.0) * 0.5
+    if name == "stairs":
+        return 0.12 * np.floor((x + 2.0) / 0.35)
+    if name == "wall":
+        z = np.zeros_like(x)
+        z[(x > 0.5) & (x < 0.62)] = 0.5
+        return z
+    if name == "overhang":
+        # slab 0.45 m over ground: the sensor sees both surfaces, rays to the
+        # ground pass under the slab — worst case for elevation-bucket quantization
+        z = np.zeros_like(x)
+        z[(x > 0.6) & (x < 1.2) & (np.abs(y) < 0.6)] = 0.45
+        return z
+    raise ValueError(name)
+
+
+@pytest.mark.parametrize("terrain", sorted(_TERRAIN_BOUNDS))
+def test_polar_terrain_fidelity(terrain, tmp_path):
+    """Polar-vs-exact divergence bound per structured terrain class
+    (staircase / thin wall / overhang / 30-degree slope / flat)."""
+    from elevation_mapping_cupy_tpu.runtime.replay import LogWriter, replay
+
+    rng = np.random.default_rng(7)
+    w = LogWriter()
+    n_frames = 12
+    npts = 5000
+    for i in range(n_frames):
+        pts = rng.uniform(-1.8, 1.8, (npts, 3)).astype(np.float32)
+        z = _terrain_z(terrain, pts[:, 0], pts[:, 1])
+        pts[:, 2] = z + rng.normal(0, 0.004, npts).astype(np.float32)
+        dyn = (pts[:, 0] > -0.9) & (pts[:, 0] < -0.6) & (np.abs(pts[:, 1]) < 0.3)
+        if 3 <= i <= 6:   # transient obstacle; raycast must clear it after
+            pts[dyn, 2] = 0.4
+        t = np.array([0.0, 0.0, 0.8], np.float32)
+        w.add(pts, np.eye(3, dtype=np.float32), t, position=t, stamp=0.1 * i)
+    path = str(tmp_path / f"terr_{terrain}.npz")
+    w.save(path)
+
+    cfg = MapConfig(resolution=0.1, map_length=4.0, max_ray_length=1.5,
+                    max_points=8192, enable_drift_compensation=False)
+    layers = ("elevation", "traversability", "is_valid")
+    ex = replay(path, cfg, snapshot_layers=layers, raycast_mode="exact")
+    po = replay(path, cfg, snapshot_layers=layers, raycast_mode="polar")
+
+    iou_min, elev_max, frac_max, p99_max = _TERRAIN_BOUNDS[terrain]
+    for k in range(n_frames):
+        e, p = ex[k], po[k]
+        ve, vp = e["is_valid"] > 0.5, p["is_valid"] > 0.5
+        iou = (ve & vp).sum() / max((ve | vp).sum(), 1)
+        assert iou > iou_min, f"{terrain} frame {k}: validity IoU {iou:.4f}"
+        both = ve & vp
+        de = np.abs(e["elevation"][both] - p["elevation"][both])
+        assert de.size == 0 or de.max() < elev_max, \
+            f"{terrain} frame {k}: elevation diverged {de.max():.4f}"
+        fe = np.isfinite(e["traversability"]) & np.isfinite(p["traversability"])
+        dt = np.abs(e["traversability"][fe] - p["traversability"][fe])
+        frac = float(np.mean(dt > 0.1))
+        p99 = float(np.quantile(dt, 0.99))
+        assert frac < frac_max, f"{terrain} frame {k}: frac {frac:.4f}"
+        assert p99 < p99_max, f"{terrain} frame {k}: trav p99 {p99:.4f}"
