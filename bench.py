@@ -610,8 +610,8 @@ _ALL_MODES = (
     ("exact", {"BENCH_ITERS": "3"}),
     ("mem", {"BENCH_ITERS": "5"}),
     ("image", {"BENCH_ITERS": "10"}),
-    ("dino", {"BENCH_ITERS": "5", "BENCH_BATCH": "16"}),
-    ("planeseg", {"BENCH_ITERS": "5", "BENCH_BATCH": "16"}),
+    ("dino", {"BENCH_ITERS": "10", "BENCH_BATCH": "16"}),
+    ("planeseg", {"BENCH_ITERS": "10", "BENCH_BATCH": "16"}),
     ("spatial", {"BENCH_ITERS": "5"}),
     ("maps", {"BENCH_ITERS": "5", "BENCH_BATCH": "64", "BENCH_POINTS": "100000"}),
     ("scaling", {"BENCH_ITERS": "3", "BENCH_BATCH": "16", "BENCH_POINTS": "4096"}),
@@ -622,7 +622,7 @@ _MODE_EXTRA_KEYS = {
     "points": ("latency_matrix", "meets_30hz_100k_pipelined", "host_sync_floor_s"),
     "exact": ("latency_s_by_points", "n_ray_steps"),
     "scaling": ("composed_env_x_spatial",),
-    "planeseg": ("placement",),
+    "planeseg": ("placement", "batched_per_map_ms", "host_cpu_single_map_ms"),
     "maps": ("batch", "points_per_cloud"),
 }
 
