@@ -43,6 +43,11 @@ def _env_int(name: str, default: int) -> int:
 _AUTO_MAX_STEPS = _env_int("ELEV_TPU_RAYCAST_AUTO_MAX_STEPS", 12)
 _AUTO_WORK_RATIO = _env_int("ELEV_TPU_RAYCAST_AUTO_WORK_RATIO", 8)
 _FLAT_MIN_SAMPLES = _env_int("ELEV_TPU_RAYCAST_FLAT_MIN_SAMPLES", 1 << 20)
+# Ray-table slice width for the flat march's delta+cumsum reconstruction
+# (see _exact_flat): the fast path covers chunks spanning at most this many
+# rays (typical chunks span chunk/mean_live ≈ 2-5% of it); wider chunks fall
+# back to the owner-gather path via lax.cond, so any value is correct.
+_FLAT_SLICE_RAYS = _env_int("ELEV_TPU_RAYCAST_FLAT_SLICE_RAYS", 1 << 17)
 
 
 def visibility_cleanup(
@@ -271,9 +276,16 @@ def _exact_flat(
     2. lays the samples out contiguously per ray (``offsets = cumsum(k)``)
        and walks them in fixed-size chunks under a ``lax.while_loop`` whose
        trip count adapts to the actual live total ``K``;
-    3. recovers each sample's ray by scattering +1 at every segment start
-       inside the chunk and prefix-summing (owner = last ray whose start is
-       <= the flat id — O(N + F) per chunk, no per-sample binary search);
+    3. reconstructs each sample's per-ray row WITHOUT any per-sample gather
+       or owner-index recovery: ray rows are bitcast to int32, their
+       consecutive-ray DELTAS are scattered at the segment starts falling
+       inside the chunk (a ~_FLAT_SLICE_RAYS-wide dynamic slice of the ray
+       table, indices sorted), and an int32 prefix sum rebuilds every
+       sample's row — int32 addition is exact, so the reconstructed f32
+       bits equal the gathered ones BIT-FOR-BIT (measured on v5e @4M
+       samples: 20 ms vs 38 ms for owner-recovery + packed gather). Chunks
+       spanning more rays than the slice width (pathological short-ray
+       clouds) fall back to the gather path under a ``lax.cond``;
     4. replays the scan body's per-sample math bit-identically (same sample
        position, cell index, dedup-vs-previous-step, penetration and
        cos-threshold tests) and issues ONE routed 2-stream scatter + ONE
@@ -312,28 +324,34 @@ def _exact_flat(
     starts = offsets - k                   # non-decreasing segment starts
     total = offsets[-1]
 
-    # Per-ray data the chunk body needs, packed as ROWS of one (8, N) table
-    # so the per-sample gather is a single packed column gather (measured on
-    # v5e @4M ids: (8,N)[:, ray] 23.6 ms vs rdir[ray]+p[ray]+2 scalar gathers
-    # 265 ms — the (F,3) row-gather layout pads the 3-wide minor dim to full
-    # lanes). Row 7 carries ``starts mod 2^20`` as f32 (exact: < 2^20), from
-    # which the in-ray step index is recovered with wraparound-corrected
-    # integer arithmetic — starts itself can exceed f32's exact-int range.
-    _MOD = 1 << 20
-    raytbl = jnp.stack(
+    # Per-ray data the chunk body needs: 7 f32 rows plus the int32 segment
+    # start, packed as int32 ROWS of one (8, N) table (f32 rows bitcast) so
+    # the in-chunk reconstruction is one sliced delta-scatter + one (8, F)
+    # prefix sum. The start row yields the in-ray step index directly
+    # (m = flat id - start, exact int32).
+    tbl_bits = jnp.concatenate(
         [
-            rdir[:, 0], rdir[:, 1], rdir[:, 2],
-            p[:, 0], p[:, 1], p[:, 2],
-            dec_amount_ray,
-            (starts % _MOD).astype(dt),
+            jax.lax.bitcast_convert_type(
+                jnp.stack(
+                    [
+                        rdir[:, 0], rdir[:, 1], rdir[:, 2],
+                        p[:, 0], p[:, 1], p[:, 2],
+                        dec_amount_ray,
+                    ],
+                    axis=0,
+                ),
+                jnp.int32,
+            ),
+            starts[None].astype(jnp.int32),
         ],
         axis=0,
-    )
+    )                                      # (8, N) int32
 
     # worst case K = max_points * n_steps; small configs get one right-sized
     # chunk instead of the full memory-knob chunk
     chunk = min(int(cfg.raycast_flat_chunk),
                 _next_pow2(max(n_rays * n_steps, 1024)))
+    slice_rays = min(_FLAT_SLICE_RAYS, n_rays, chunk)
 
     half_n = jnp.asarray(0.5 * n, dt)
     inv_res = jnp.asarray(1.0 / cfg.resolution, dt)
@@ -356,15 +374,43 @@ def _exact_flat(
     def cond(carry):
         return carry[0] * chunk < total
 
-    def body(carry):
-        j, dec, var, ubmin = carry
-        lo = j * chunk
-        ids = lo + jnp.arange(chunk, dtype=jnp.int32)
-        live = ids < total
+    def _rows_sliced(lo, base_r):
+        """Delta + prefix-sum reconstruction of every sample's (8,) row.
 
-        # owner ray of flat id = last ray with start <= id: rays fully
-        # before the chunk via one scalar search, in-chunk starts via
-        # scatter(+1 at start) → prefix sum
+        Sample i's row = row of the last ray whose start <= lo + i
+        (``base_r`` for i = 0). Scatter each in-chunk ray's
+        CONSECUTIVE-RAY DELTA (int32, exact) at its start position, seed
+        position 0 with the base ray's absolute row, prefix-sum: the
+        telescoping sum reproduces the gathered bits exactly (zero-length
+        rays sharing a start all land their deltas on the same position,
+        telescoping to the LAST tie — the same owner the gather path
+        picks). Scatter indices are clipped (not masked-to-end) so the
+        indices_are_sorted hint stays truthful; clipped positions carry
+        zero deltas."""
+        sl = jax.lax.dynamic_slice(
+            tbl_bits,
+            (0, jnp.minimum(base_r, n_rays - slice_rays)),
+            (8, slice_rays),
+        )
+        d8 = sl - jnp.concatenate([sl[:, :1], sl[:, :-1]], axis=1)
+        pos = sl[7] - lo                   # start positions rel. chunk
+        ok = (pos > 0) & (pos < chunk)
+        posc = jnp.clip(pos, 0, chunk)     # non-decreasing
+        buf = jnp.zeros((8, chunk + 1), jnp.int32)
+        buf = buf.at[:, posc].add(
+            jnp.where(ok, d8, 0),
+            indices_are_sorted=True,
+            unique_indices=False,
+        )
+        base_col = jax.lax.dynamic_slice(tbl_bits, (0, base_r), (8, 1))
+        buf = buf.at[:, 0].add(base_col[:, 0])
+        return jnp.cumsum(buf[:, :chunk], axis=1)
+
+    def _rows_gathered(lo, base_r):
+        """Fallback for chunks spanning more rays than the slice width:
+        owner-index recovery (scatter +1 at starts → prefix sum) followed
+        by a packed column gather — the pre-reconstruction formulation,
+        bit-identical output."""
         base = jnp.searchsorted(starts, lo, side="left").astype(jnp.int32)
         pos = starts - lo
         in_chunk = (pos >= 0) & (pos < chunk)
@@ -372,17 +418,28 @@ def _exact_flat(
             jnp.where(in_chunk, pos, 0)
         ].add(jnp.where(in_chunk, 1, 0))
         ray = jnp.clip(base + jnp.cumsum(ind) - 1, 0, n_rays - 1)
+        return tbl_bits[:, ray]
 
-        row8 = raytbl[:, ray]                             # (8, F) one gather
-        rdx, rdy, rdz = row8[0], row8[1], row8[2]
-        pex, pey, pez = row8[3], row8[4], row8[5]
-        dec_amount = row8[6]
-        # in-ray step index from the mod-2^20 residues (exact int arithmetic
-        # in f32; m <= n_steps << 2^20 so one wraparound correction suffices)
-        ids_mod = (ids % _MOD).astype(dt)
-        m_f = ids_mod - row8[7]
-        m_f = jnp.where(m_f < 0, m_f + _MOD, m_f)
-        m = jnp.clip(m_f.astype(jnp.int32), 0, n_steps - 1)
+    def body(carry):
+        j, dec, var, ubmin = carry
+        lo = j * chunk
+        ids = lo + jnp.arange(chunk, dtype=jnp.int32)
+        live = ids < total
+
+        # owner of the chunk's first sample: LAST ray with start <= lo
+        base_r = jnp.maximum(
+            jnp.searchsorted(starts, lo, side="right").astype(jnp.int32) - 1, 0
+        )
+        # every ray starting inside the chunk must fall inside the slice
+        hi = jnp.searchsorted(starts, lo + chunk, side="left").astype(jnp.int32)
+        fits = hi <= jnp.minimum(base_r, n_rays - slice_rays) + slice_rays
+        bits8 = jax.lax.cond(fits, _rows_sliced, _rows_gathered, lo, base_r)
+        row7 = jax.lax.bitcast_convert_type(bits8[:7], dt)
+        rdx, rdy, rdz = row7[0], row7[1], row7[2]
+        pex, pey, pez = row7[3], row7[4], row7[5]
+        dec_amount = row7[6]
+        # in-ray step index: flat id minus the owning ray's segment start
+        m = jnp.clip(ids - bits8[7], 0, n_steps - 1)
 
         s_cur = (m + 1).astype(dt) * step                 # == steps[m]
         sx = t[0] + rdx * s_cur
