@@ -543,6 +543,155 @@ def bench_planeseg() -> None:
     }))
 
 
+def bench_sol() -> None:
+    """Speed-of-light microbench floors (VERDICT r3 item 4/6 evidence).
+
+    Re-runnable justification for the roofline claims in docs/DEPLOYMENT.md:
+    the hot raycast/scatter path is priced against the chip's measured
+    random-access memory floors, not against hopes. Measures, on the live
+    device:
+
+      * random scatter-add floors: 1M points into the polar cube's bins
+        (A*R*S ~ 4.85M at the deployed YAML) and into the 204^2 map cells —
+        the two scatter workloads of the datagen step;
+      * random gather floor: the flat march's 4M-sample (7, cells) pack
+        column gather;
+      * delta+cumsum row reconstruction vs owner-recovery + gather at 4M
+        samples (the two chunk-body formulations, ops/raycast.py);
+      * sort-based per-cell min vs XLA scatter-min at 4M samples.
+
+    One JSON line; value = ms per 1M random scatter-adds into the cube
+    (the binding floor for the polar datagen step).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    iters = int(os.environ.get("BENCH_ITERS", 10))
+    F = int(os.environ.get("BENCH_SOL_SAMPLES", 1 << 22))   # flat-march chunk
+    N = int(os.environ.get("BENCH_SOL_RAYS", 1 << 20))      # rays / points
+    n = 204
+    NN = n * n
+    A, R, S = 512, 355, 128            # deployed-YAML polar cube (A*R*S=23.3M
+    cube_bins = A * R * S              # bins at A=512; r3 used 4.85M at A=256)
+
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+
+    # On the tunneled backend block_until_ready can return before execution
+    # finishes (see main()); every timing therefore forces a scalar fetch
+    # and subtracts the dispatch+fetch floor measured on a trivial program.
+    triv = jax.jit(lambda v: v + 1.0)
+    _ = float(triv(jnp.float32(0.0)))
+    t0 = time.perf_counter()
+    for _ in range(max(iters, 10)):
+        _ = float(triv(jnp.float32(0.0)))
+    floor = (time.perf_counter() - t0) / max(iters, 10)
+
+    def timeit(fn, *args, n_it=iters):
+        f = jax.jit(lambda *a: jnp.sum(fn(*a).astype(jnp.float32)))
+        _ = float(f(*args))
+        t0 = time.perf_counter()
+        for _ in range(n_it):
+            _ = float(f(*args))
+        per = (time.perf_counter() - t0) / n_it
+        return round(max(per - floor, 0.0) * 1e3, 2)
+
+    # --- random scatter-add floors ---
+    vals = jax.random.normal(key, (N,), jnp.float32)
+    cube_idx = jnp.asarray(rng.integers(0, cube_bins, N).astype(np.int32))
+    map_idx = jnp.asarray(rng.integers(0, NN, N).astype(np.int32))
+    scat_cube = timeit(
+        lambda i, v: jnp.zeros((cube_bins,), jnp.float32).at[i].add(v),
+        cube_idx, vals)
+    scat_map = timeit(
+        lambda i, v: jnp.zeros((NN,), jnp.float32).at[i].add(v),
+        map_idx, vals)
+
+    # --- random gather floor: flat-march pack gather at F samples ---
+    pack = jax.random.normal(key, (7, NN), jnp.float32)
+    nidx_f = jnp.asarray(rng.integers(0, NN, F).astype(np.int32))
+    gather_pack = timeit(lambda t, o: t[:, o], pack, nidx_f)
+
+    # --- chunk-body row reconstruction: delta+cumsum vs owner gather ---
+    k = np.clip(rng.poisson(99, N), 1, 353).astype(np.int64)
+    offs = np.cumsum(k)
+    starts = jnp.asarray((offs - k).astype(np.int32))
+    raytbl = jax.random.normal(key, (8, N), jnp.float32)
+    MAXR = 1 << 16
+
+    def delta_cumsum(t, st, lo):
+        base = jnp.searchsorted(st, lo, side="right").astype(jnp.int32) - 1
+        base = jnp.maximum(base, 0)
+        sl = jax.lax.dynamic_slice(st, (base,), (MAXR,))
+        rows = jax.lax.dynamic_slice(t, (0, base), (8, MAXR))
+        bits = jax.lax.bitcast_convert_type(rows, jnp.int32)
+        d = bits - jnp.pad(bits[:, :-1], ((0, 0), (1, 0)))
+        pos = sl - lo
+        ok = (pos > 0) & (pos < F)
+        posc = jnp.where(ok, pos, F)
+        buf = jnp.zeros((8, F + 1), jnp.int32)
+        buf = buf.at[:, posc].add(jnp.where(ok, d, 0),
+                                  indices_are_sorted=True)
+        buf = buf.at[:, 0].add(bits[:, 0])
+        return jnp.cumsum(buf[:, :F], axis=1)
+
+    def owner_gather(t, st, lo):
+        base = jnp.searchsorted(st, lo, side="left").astype(jnp.int32)
+        pos = st - lo
+        in_chunk = (pos >= 0) & (pos < F)
+        ind = jnp.zeros((F,), jnp.int32).at[jnp.where(in_chunk, pos, 0)].add(
+            jnp.where(in_chunk, 1, 0))
+        ray = jnp.clip(base + jnp.cumsum(ind) - 1, 0, N - 1)
+        return t[:, ray]
+
+    recon_delta = timeit(delta_cumsum, raytbl, starts, jnp.int32(0))
+    recon_gather = timeit(owner_gather, raytbl, starts, jnp.int32(0))
+
+    # --- per-cell min: 2-key sort vs XLA scatter-min at F samples ---
+    nz = jax.random.normal(key, (F,))
+    msk = jax.random.uniform(key, (F,)) < 0.05
+
+    def sort_min(ni, z, m):
+        key2 = jnp.where(m, z, jnp.inf)
+        skey, snz = jax.lax.sort((ni, key2), num_keys=2)
+        cells = jnp.arange(NN, dtype=ni.dtype)
+        p = jnp.searchsorted(skey, cells, side="left")
+        pc = jnp.minimum(p, F - 1)
+        return jnp.where(skey[pc] == cells, snz[pc], jnp.inf)
+
+    def scat_min(ni, z, m):
+        return jnp.full((NN,), jnp.inf).at[jnp.where(m, ni, NN - 1)].min(
+            jnp.where(m, z, jnp.inf))
+
+    t_sortmin = timeit(sort_min, nidx_f, nz, msk)
+    t_scatmin = timeit(scat_min, nidx_f, nz, msk)
+
+    print(json.dumps({
+        "metric": "random scatter-add floor (1M -> polar cube bins)",
+        "value": scat_cube,
+        "unit": "ms",
+        "vs_baseline": round(12.2 / max(scat_cube, 1e-9), 3),
+        "extra": {
+            "floors_ms": {
+                "scatter_add_1M_to_cube": scat_cube,
+                "scatter_add_1M_to_map": scat_map,
+                "pack_gather_4M": gather_pack,
+                "recon_delta_cumsum_4M": recon_delta,
+                "recon_owner_gather_4M": recon_gather,
+                "sort_min_4M": t_sortmin,
+                "xla_scatter_min_4M": t_scatmin,
+            },
+            "cube_bins": cube_bins,
+            "samples": F,
+            "rays": N,
+            "host_sync_floor_s": round(floor, 4),
+            "vs_baseline_note": "ratio vs the r3 measured 12.2 ms floor "
+                                "(PARITY.md); >1 = this chip is faster",
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
 def bench_exact() -> None:
     """Exact-parity raycast: full update latency at the deployed YAML
     (raycast_mode="exact", 353 ray steps) — the parity-replay operating
@@ -566,6 +715,10 @@ def bench_exact() -> None:
     out = {}
     steps = None
     for n_pts in sizes:
+        # slim in-bench workload (VERDICT r3 item 1): the 1M cloud is slow
+        # enough that one warm iteration pins the number — the update is a
+        # single deterministic dispatch, not a noisy microsecond kernel
+        n_iters = iters if n_pts < 1_000_000 else max(1, iters // 3)
         cfg = load_config(yaml_path).replace(
             raycast_mode="exact", max_points=n_pts)
         steps = cfg.n_ray_steps
@@ -580,10 +733,10 @@ def bench_exact() -> None:
         state = core.update_pointcloud(state, points, mask, R, t, zero, zero, w, cfg)
         _ = float(jnp.sum(state.layers[2]))
         t0 = time.perf_counter()
-        for _i in range(iters):
+        for _i in range(n_iters):
             state = core.update_pointcloud(state, points, mask, R, t, zero, zero, w, cfg)
         _ = float(jnp.sum(state.layers[2]))
-        out[str(n_pts)] = round((time.perf_counter() - t0) / iters, 4)
+        out[str(n_pts)] = round((time.perf_counter() - t0) / n_iters, 4)
     headline = out[str(sizes[-1])]
     r2_scan_s = 7.51  # round-2 step-serialized scan at the same operating point
     print(json.dumps({
@@ -604,17 +757,21 @@ def bench_exact() -> None:
 # orchestrated all-modes run: (mode, env overrides sized for a compact
 # driver-visible summary). The TPU chip is exclusive-access on this
 # harness, so the orchestrator never imports jax itself and runs the modes
-# as SEQUENTIAL subprocesses.
+# as SEQUENTIAL subprocesses. ORDER IS FASTEST-FIRST (VERDICT r3 item 1):
+# if the driver's clock cuts the run short, the cheap modes' figures are
+# already on the scoreboard; the slow compile-heavy modes (points matrix,
+# exact raycast) run LAST.
 _ALL_MODES = (
-    ("points", {}),
-    ("exact", {"BENCH_ITERS": "3"}),
     ("mem", {"BENCH_ITERS": "5"}),
     ("image", {"BENCH_ITERS": "10"}),
     ("dino", {"BENCH_ITERS": "10", "BENCH_BATCH": "16"}),
+    ("sol", {"BENCH_ITERS": "10"}),
     ("planeseg", {"BENCH_ITERS": "10", "BENCH_BATCH": "16"}),
     ("spatial", {"BENCH_ITERS": "5"}),
     ("maps", {"BENCH_ITERS": "5", "BENCH_BATCH": "64", "BENCH_POINTS": "100000"}),
     ("scaling", {"BENCH_ITERS": "3", "BENCH_BATCH": "16", "BENCH_POINTS": "4096"}),
+    ("points", {}),
+    ("exact", {"BENCH_ITERS": "3"}),
 )
 
 # extra keys worth carrying into the combined summary, per mode
@@ -624,6 +781,7 @@ _MODE_EXTRA_KEYS = {
     "scaling": ("composed_env_x_spatial",),
     "planeseg": ("placement", "batched_per_map_ms", "host_cpu_single_map_ms"),
     "maps": ("batch", "points_per_cloud"),
+    "sol": ("floors_ms",),
 }
 
 
@@ -631,22 +789,60 @@ def run_all_modes() -> None:
     """Default `python bench.py`: every mode as a sequential subprocess,
     one compact JSON line per mode as it completes, one combined line last —
     so the driver's BENCH_r*.json carries every headline number (VERDICT r2
-    weak #3: the scoreboard must not depend on prose)."""
+    weak #3: the scoreboard must not depend on prose).
+
+    A GLOBAL wall-clock budget (BENCH_TOTAL_BUDGET, default 1320 s) bounds
+    the whole run (VERDICT r3 item 1): once the remaining budget can no
+    longer cover a mode, it and everything after it land in the summary as
+    explicit {"skipped": "budget"} entries instead of the run dying mid-mode
+    with rc=124. Per-mode subprocess timeouts are additionally capped at the
+    remaining budget.
+    """
     import subprocess
     import sys
 
     here = os.path.abspath(__file__)
+    t_start = time.perf_counter()
+    budget = float(os.environ.get("BENCH_TOTAL_BUDGET", 1320))
+    mode_cap = int(os.environ.get("BENCH_MODE_TIMEOUT", 600))
+    # minimum useful allocation per mode: below this, compile alone would
+    # eat the slot, so skip explicitly rather than burn the tail
+    min_slot = float(os.environ.get("BENCH_MIN_SLOT", 75))
+
     modes = {}
+
+    def emit(m):
+        print(json.dumps({"mode": m, **modes[m]}), flush=True)
+        # cumulative combined line after EVERY mode: if the driver's overall
+        # timeout cuts the run short anyway, the captured tail still ends
+        # with a full summary of everything that completed
+        pts = modes.get("points", {})
+        print(json.dumps({
+            "metric": pts.get("metric", "points/s/chip"),
+            "value": pts.get("value"),
+            "unit": pts.get("unit", "points/s"),
+            "vs_baseline": pts.get("vs_baseline"),
+            "extra": {"modes": modes},
+        }), flush=True)
+
     for m, envkv in _ALL_MODES:
+        remaining = budget - (time.perf_counter() - t_start)
+        if remaining < min_slot:
+            modes[m] = {"skipped": "budget"}
+            emit(m)
+            continue
         env = dict(os.environ)
         env.update(envkv)
         env["BENCH_MODE"] = m
         last_err = None
         for _attempt in range(2):  # one retry: the tunneled chip throws
+            remaining = budget - (time.perf_counter() - t_start)
+            if remaining < min_slot:
+                break              # out of budget mid-retry: keep last_err
             try:                   # transient INTERNAL errors occasionally
                 p = subprocess.run(
                     [sys.executable, here], env=env, capture_output=True,
-                    text=True, timeout=int(os.environ.get("BENCH_MODE_TIMEOUT", 2100)),
+                    text=True, timeout=min(mode_cap, max(remaining, min_slot)),
                 )
                 lines = [l for l in p.stdout.strip().splitlines() if l.startswith("{")]
                 if not lines:
@@ -658,6 +854,7 @@ def run_all_modes() -> None:
                 for k in _MODE_EXTRA_KEYS.get(m, ()):
                     if k in d.get("extra", {}):
                         compact[k] = d["extra"][k]
+                compact["wall_s"] = round(time.perf_counter() - t_start, 1)
                 modes[m] = compact
                 last_err = None
                 break
@@ -665,18 +862,7 @@ def run_all_modes() -> None:
                 last_err = f"{type(e).__name__}: {str(e)[:200]}"
         if last_err is not None:
             modes[m] = {"error": last_err}
-        print(json.dumps({"mode": m, **modes[m]}), flush=True)
-        # cumulative combined line after EVERY mode: if the driver's overall
-        # timeout cuts the run short, the captured tail still ends with a
-        # full summary of everything that completed
-        pts = modes.get("points", {})
-        print(json.dumps({
-            "metric": pts.get("metric", "points/s/chip"),
-            "value": pts.get("value"),
-            "unit": pts.get("unit", "points/s"),
-            "vs_baseline": pts.get("vs_baseline"),
-            "extra": {"modes": modes},
-        }), flush=True)
+        emit(m)
 
 
 def main() -> None:
@@ -704,6 +890,9 @@ def main() -> None:
         return
     if mode == "image":
         bench_image()
+        return
+    if mode == "sol":
+        bench_sol()
         return
 
     import jax

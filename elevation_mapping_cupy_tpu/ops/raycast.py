@@ -298,6 +298,14 @@ def _exact_flat(
     n = cfg.cell_n
     n_steps = cfg.n_ray_steps
     dt = layers.dtype
+    # the delta+cumsum row reconstruction bitcasts ray rows to int32 (exact
+    # integer telescoping); a non-32-bit layer dtype would change the bitcast
+    # rank and silently break it (ADVICE r3) — fail loudly instead
+    if jnp.dtype(dt).itemsize != 4:
+        raise TypeError(
+            f"_exact_flat requires a 32-bit layer dtype (got {jnp.dtype(dt)}); "
+            "use raycast_exact_impl='scan' for other dtypes"
+        )
     step = jnp.asarray(cfg.ray_step, dt)
     pack = _exact_precompute(layers, normal, inlier_cnt, cfg)
 
