@@ -68,3 +68,67 @@ def test_long_horizon_soak(rng):
     assert 0.05 < valid_frac <= 1.0
     assert np.isfinite(float(state.mean_error))
     assert abs(float(state.mean_error)) < 1.0
+
+
+def test_turnkey_parity_cli(tmp_path, rng):
+    """VERDICT r3 item 7: one-command real-log parity. Round-trips a raw
+    PointCloud2-style dump through the converter (native deinterleave), the
+    exact-raycast replay, a layer dump, and the diff — self-diff must be
+    parity_ok (exit 0); a perturbed reference must fail (exit 1)."""
+    from elevation_mapping_cupy_tpu import replay as cli
+
+    # synthetic RAW PointCloud2 dump: 3 frames, xyz + intensity, 20-byte
+    # records with a 4-byte pad to exercise non-contiguous offsets
+    n_frames, n_pts, step = 3, 400, 20
+    raw = {"n_frames": np.int64(n_frames),
+           "channels": np.array(["x", "y", "z", "intensity"], dtype=object)}
+    for i in range(n_frames):
+        pts = rng.uniform(-0.9, 0.9, (n_pts, 3)).astype(np.float32)
+        pts[:, 2] = rng.uniform(-0.1, 0.2, n_pts)
+        pts[0] = np.nan  # the reference's NaN-skip path
+        inten = rng.uniform(0, 1, (n_pts, 1)).astype(np.float32)
+        buf = np.zeros((n_pts, step // 4), np.float32)
+        buf[:, 0:3] = pts
+        buf[:, 4] = inten[:, 0]
+        raw[f"f{i}_data"] = buf.view(np.uint8).reshape(-1)
+        raw[f"f{i}_n_points"] = np.int64(n_pts)
+        raw[f"f{i}_point_step"] = np.int64(step)
+        raw[f"f{i}_offsets"] = np.array([0, 4, 8, 16], np.int64)
+        raw[f"f{i}_R"] = np.eye(3, dtype=np.float32)
+        raw[f"f{i}_t"] = np.array([0, 0, 0.5], np.float32)
+        raw[f"f{i}_position"] = np.array([0.01 * i, 0, 0], np.float32)
+        raw[f"f{i}_stamp"] = np.float64(0.1 * i)
+    raw_path = str(tmp_path / "raw.npz")
+    np.savez_compressed(raw_path, **raw)
+
+    log_path = str(tmp_path / "log.npz")
+    out_path = str(tmp_path / "mine.npz")
+    cfg_yaml = str(tmp_path / "cfg.yaml")
+    with open(cfg_yaml, "w") as f:
+        f.write("resolution: 0.1\nmap_length: 2.0\nmax_ray_length: 0.5\n"
+                "max_points: 1024\n")
+
+    rc = cli.main(["--from-pointcloud2", raw_path, "--save-log", log_path,
+                   "--config", cfg_yaml, "--out", out_path,
+                   "--layers", "elevation,is_valid"])
+    assert rc == 0
+    z = np.load(log_path, allow_pickle=True)
+    assert int(z["n_frames"]) == n_frames
+    assert z["f0_points"].shape[1] == 4      # xyz + intensity
+    assert z["f0_points"].shape[0] == n_pts - 1   # NaN row dropped
+
+    # self-diff: parity_ok, exit 0
+    rc = cli.main(["--log", log_path, "--config", cfg_yaml,
+                   "--diff-against", out_path, "--summary-only",
+                   "--layers", "elevation,is_valid"])
+    assert rc == 0
+
+    # perturbed reference: must fail
+    ref = dict(np.load(out_path, allow_pickle=True))
+    ref["f1_elevation"] = ref["f1_elevation"] + 0.05
+    bad_path = str(tmp_path / "bad.npz")
+    np.savez_compressed(bad_path, **ref)
+    rc = cli.main(["--log", log_path, "--config", cfg_yaml,
+                   "--diff-against", bad_path, "--summary-only",
+                   "--layers", "elevation,is_valid"])
+    assert rc == 1
