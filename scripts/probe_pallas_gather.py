@@ -3,7 +3,11 @@
 Round-4 experiment log for the fused march kernel (VERDICT r3 item 2):
 establishes which in-VMEM gather/scatter forms Mosaic accepts on this
 chip generation before committing to a kernel design.
+
+Run one probe per process (a hanging Mosaic compile must not block the
+rest): ``python scripts/probe_pallas_gather.py <index>``.
 """
+import sys
 import numpy as np
 import jax, jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -18,7 +22,14 @@ idx = jnp.asarray(rng.integers(0, NN, (T,)).astype(np.int32))
 vals = jnp.asarray(rng.normal(0, 1, (T,)).astype(np.float32))
 
 
+_PROBE = int(sys.argv[1]) if len(sys.argv) > 1 else -1
+_counter = [0]
+
+
 def try_kernel(name, kernel, out_shape, *args):
+    _counter[0] += 1
+    if _PROBE >= 0 and _counter[0] - 1 != _PROBE:
+        return None
     try:
         f = jax.jit(lambda *a: pl.pallas_call(
             kernel,
@@ -87,3 +98,27 @@ def k_take2d(tbl_ref, idx_ref, out_ref):
     out_ref[:] = jnp.take(tbl_ref[0], idx_ref[:], axis=0)
 try_kernel("take 2D (T/128,128) from (NN,)", k_take2d,
            jax.ShapeDtypeStruct((T // 128, 128), jnp.float32), table, idx2d)
+
+
+# ---------------------------------------------------------------------------
+# RESULTS (TPU v5 lite, jax 0.9.0, 2026-08-20 — round 4):
+#   FAIL take flat (T,) from (NN,)      NotImplementedError: only 2D gather
+#   FAIL take (8,T) from (8,NN) axis=1  shape mismatch (gather form unsupported)
+#   FAIL scatter .at[].add              Mosaic TC: scatter-add unimplemented
+#   FAIL scatter .at[].min              Mosaic TC: scatter-min unimplemented
+#   FAIL jnp.sort                       Mosaic TC: sort unimplemented
+#   OK   take_along_axis axis=0 (sublane gather within lane columns)
+#   HANG take_along_axis axis=1 (lane gather: Mosaic compile never returns)
+#   FAIL take 2D (T/128,128) from flat  only-2D-gather rejection again
+#
+# Conclusion (documents VERDICT r3 items 2 & 6): the "tile rays into VMEM,
+# march in-register, accumulate per-tile cell deltas" fused kernel is NOT
+# implementable on this toolchain — a marching kernel needs per-sample
+# arbitrary gather (cell reads) and scatter (cell accumulation), and Mosaic
+# exposes neither (the only working gather is sublane-aligned
+# take_along_axis, which would require a lane-sort that is itself
+# unavailable in-kernel). The implementable TPU-native scatter remains the
+# MXU one-hot matmul formulation (ops/pallas_scatter.py), which the flat
+# march already routes through. The <=1s exact-raycast work therefore
+# targets the XLA-level chunk body (see scripts/ablate_flat_march.py).
+# ---------------------------------------------------------------------------
