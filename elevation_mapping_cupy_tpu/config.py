@@ -195,10 +195,18 @@ class MapConfig:
     @property
     def azimuth_bins(self) -> int:
         """Effective polar-raycast azimuth bin count (auto when the config
-        field is 0: next pow2 >= 4*cell_n, capped at 512)."""
+        field is 0: next pow2 >= 12*cell_n, capped at 512).
+
+        The 12x multiplier is the saturation point of the polar-vs-exact
+        trajectory divergence (round-4 experiment matrix, PARITY.md:
+        validity-flip count and trav p99 stop improving above ~12 bins per
+        cell of map width; 4x left a 2x-worse divergence on sub-128-cell
+        maps). Maps with cell_n >= ~43 hit the 512 cap, which is the
+        measured perf/memory sweet spot at the deployed 202-cell scale.
+        """
         if self.raycast_azimuth_bins > 0:
             return self.raycast_azimuth_bins
-        return min(512, 1 << max(4 * self.cell_n - 1, 1).bit_length())
+        return min(512, 1 << max(12 * self.cell_n - 1, 1).bit_length())
 
     @property
     def overlap_cell_range(self) -> Tuple[int, int]:

@@ -48,6 +48,21 @@ _FLAT_MIN_SAMPLES = _env_int("ELEV_TPU_RAYCAST_FLAT_MIN_SAMPLES", 1 << 20)
 # rays (typical chunks span chunk/mean_live ≈ 2-5% of it); wider chunks fall
 # back to the owner-gather path via lax.cond, so any value is correct.
 _FLAT_SLICE_RAYS = _env_int("ELEV_TPU_RAYCAST_FLAT_SLICE_RAYS", 1 << 17)
+# Gated march knobs (_exact_gated): samples per gate segment, cells per gate
+# block (both 8 — see the coverage proof in _exact_gated), and the ratio of
+# coarse-chunk segments to fine-launch segments (higher = finer adaptivity,
+# more fixed launch overhead when many segments survive).
+_GATE_SEG = _env_int("ELEV_TPU_RAYCAST_GATE_SEG", 8)
+_GATE_BLOCK = _env_int("ELEV_TPU_RAYCAST_GATE_BLOCK", 8)
+_GATE_FINE_DIV = _env_int("ELEV_TPU_RAYCAST_GATE_FINE_DIV", 16)
+_GATE_MIN_FINE = _env_int("ELEV_TPU_RAYCAST_GATE_MIN_FINE", 1024)
+# Coarse-pass sizing: segments per coarse chunk (each covers C x that many
+# samples — big chunks amortize per-round overhead; 4M segments ≈ 32M
+# samples ≈ 3 rounds at the deployed 1M-pt cloud) and the ray-table slice
+# cap for the coarse delta+cumsum reconstruction (coarse chunks span ~C x
+# more rays than sample chunks, so the slice is correspondingly wider).
+_GATE_COARSE_CHUNK = _env_int("ELEV_TPU_RAYCAST_GATE_COARSE_CHUNK", 1 << 22)
+_GATE_SLICE_RAYS = _env_int("ELEV_TPU_RAYCAST_GATE_SLICE_RAYS", 1 << 20)
 
 
 def visibility_cleanup(
@@ -109,12 +124,16 @@ def visibility_cleanup_exact(
     impl = cfg.raycast_exact_impl
     if impl == "auto":
         # expansion machinery (cumsum + per-chunk segment-start scatter) only
-        # pays for itself once the dense march exceeds ~1M raw samples
+        # pays for itself once the dense march exceeds ~1M raw samples; at
+        # that scale the gated variant (flat + conservative segment culling)
+        # strictly dominates on realistic scenes (writers are sparse)
         impl = (
-            "flat"
+            "gated"
             if cfg.n_ray_steps * cfg.max_points >= _FLAT_MIN_SAMPLES
             else "scan"
         )
+    if impl == "gated":
+        return _exact_gated(layers, normal, assoc, inlier_cnt, t, cfg)
     if impl == "flat":
         return _exact_flat(layers, normal, assoc, inlier_cnt, t, cfg)
     return _exact_scan(layers, normal, assoc, inlier_cnt, t, cfg)
@@ -504,6 +523,314 @@ def _exact_flat(
         cellmin = jnp.where(skey[posc] == cells, snz[posc], jnp.inf)
         ubmin = jnp.minimum(ubmin, cellmin)
         return (j + 1, dec, var, ubmin)
+
+    _, dec, var, ubmin = jax.lax.while_loop(cond, body, init)
+
+    flat = layers.reshape(7, -1)
+    flat = flat.at[2].add(-dec)
+    flat = flat.at[1].add(var)
+    wrote = jnp.isfinite(ubmin)
+    flat = flat.at[5].set(jnp.where(wrote, ubmin, flat[5]))
+    flat = flat.at[6].set(jnp.where(wrote, 1.0, flat[6]))
+    return flat.reshape(7, n, n)
+
+
+def _exact_gated(
+    layers: jax.Array,
+    normal: jax.Array,
+    assoc: PointAssociation,
+    inlier_cnt: jax.Array,
+    t: jax.Array,
+    cfg: MapConfig,
+) -> jax.Array:
+    """Segment-gated exact march: the flat march plus conservative culling.
+
+    Observation (measured at the deployed 1M-pt operating point): virtually
+    every live (ray, step) sample is a NON-writer — it neither penetrates an
+    eligible cell nor undercuts an invalid cell's upper bound — yet the flat
+    march still pays the full reconstruct/gather/scatter/sort pipeline for
+    it. A sample can only write when ``nz < zgate(cell)`` where ``zgate`` is
+    a per-cell threshold derivable from the same R1 snapshot the march reads
+    (custom_kernels.py:198-259 semantics):
+
+      code 0 (ineligible)            -> -inf       (never writes)
+      code 1 (invalid cell)          -> ub_thresh  (the nz < upper_bound test)
+      code 2 (hit-eligible cell)     -> h - 0.01 + q  (the penetration test)
+
+    This implementation groups each ray's live samples into segments of
+    ``C = _GATE_SEG`` consecutive steps and, per segment, evaluates ONE
+    conservative gate: ``min(nz_first, nz_last)`` (nz is linear in s, so the
+    segment min is at an endpoint) against a 3x3-dilated block-max table of
+    ``zgate`` (blocks of ``B = _GATE_BLOCK`` cells). Segments that fail the
+    gate provably contain no writer and are skipped wholesale — non-writer
+    samples have NO other side effect (the scan's ``last`` dedup carry is
+    recomputed locally from the ray row). Survivors are compacted and
+    replayed through the bit-exact per-sample pipeline in adaptive
+    fine launches, so output differs from _exact_flat/_exact_scan only in
+    float summation order of the decrement/variance accumulators (bounded
+    ~1e-6 relative); the upper-bound min is order-exact.
+
+    Coverage proof for the 3x3 dilation: a segment spans at most
+    ``(C-1) * step = 7 * res/sqrt(2) ~= 4.95 res`` in xy, so every sample's
+    cell lies within 6 cells of the segment-start cell; with B = 8 that is
+    at most one block away, and clipping the start cell into the map is a
+    per-axis projection (1-Lipschitz), so out-of-map starts keep the bound.
+    Comparison slack: the gate adds 2e-4 (~1000x f32 rounding at O(1)
+    heights) so reassociated threshold arithmetic can never exclude a true
+    writer.
+
+    Worst case (every segment survives) degrades gracefully to ~the flat
+    march's cost plus the coarse pass (~15%); typical converged maps cull
+    80-100% of samples.
+    """
+    n = cfg.cell_n
+    n_steps = cfg.n_ray_steps
+    dt = layers.dtype
+    if jnp.dtype(dt).itemsize != 4:
+        raise TypeError(
+            f"_exact_gated requires a 32-bit layer dtype (got {jnp.dtype(dt)}); "
+            "use raycast_exact_impl='scan' for other dtypes"
+        )
+    step = jnp.asarray(cfg.ray_step, dt)
+    pack = _exact_precompute(layers, normal, inlier_cnt, cfg)
+
+    C = _GATE_SEG
+    B = _GATE_BLOCK
+
+    p = assoc.world
+    n_rays = p.shape[0]
+    vvec = p - t
+    norm = jnp.linalg.norm(vvec, axis=-1)
+    rdir = jnp.where(norm[:, None] > 0, vvec / jnp.maximum(norm, 1e-30)[:, None], 0.0)
+    ray_length = jnp.minimum(norm, cfg.max_ray_length)
+    dec_amount_ray = cfg.cleanup_step / (ray_length / cfg.max_ray_length)
+
+    steps_v = (jnp.arange(1, n_steps + 1, dtype=dt)) * step
+    k1 = jnp.searchsorted(steps_v, ray_length, side="left")
+    k2 = jnp.searchsorted(steps_v, norm - jnp.sqrt(jnp.asarray(0.1, dt)) + step,
+                          side="right")
+    k = jnp.where(assoc.valid, jnp.minimum(k1, k2), 0).astype(jnp.int32)
+
+    n_seg = (k + (C - 1)) // C
+    seg_off = jnp.cumsum(n_seg)
+    seg_starts = (seg_off - n_seg).astype(jnp.int32)
+    total_seg = seg_off[-1]
+
+    # ---- per-cell write gate -> dilated block-max table ----
+    zgate = jnp.where(
+        pack[3] == 1.0,
+        pack[2],
+        jnp.where(pack[3] == 2.0, pack[0] - 0.01 + pack[1], -jnp.inf),
+    ).reshape(n, n)
+    ii = jnp.arange(n)
+    border = (ii == 0) | (ii == n - 1)
+    zgate = jnp.where(border[:, None] | border[None, :], -jnp.inf, zgate)
+    nb = (n + B - 1) // B
+    zpad = jnp.full((nb * B, nb * B), -jnp.inf, dt).at[:n, :n].set(zgate)
+    blkmax = jnp.max(zpad.reshape(nb, B, nb, B), axis=(1, 3))
+    blkmax = jnp.pad(blkmax, 1, constant_values=-jnp.inf)
+    gate_tbl = jnp.stack(
+        [jnp.roll(jnp.roll(blkmax, di, 0), dj, 1) for di in (-1, 0, 1) for dj in (-1, 0, 1)]
+    ).max(axis=0)[1:-1, 1:-1].reshape(-1)
+    gate_eps = jnp.asarray(2e-4, dt)
+
+    # ---- coarse (segment) table: rdir + seg_start + k + ray index ----
+    coarse_tbl = jnp.concatenate(
+        [
+            jax.lax.bitcast_convert_type(
+                jnp.stack([rdir[:, 0], rdir[:, 1], rdir[:, 2]], axis=0), jnp.int32
+            ),
+            seg_starts[None],
+            k[None],
+            jnp.arange(n_rays, dtype=jnp.int32)[None],
+        ],
+        axis=0,
+    )                                      # (6, N) int32
+    # ---- fine (per-ray) table gathered by ray index in fine launches ----
+    fine_tbl = jnp.concatenate(
+        [
+            jax.lax.bitcast_convert_type(
+                jnp.stack(
+                    [rdir[:, 0], rdir[:, 1], rdir[:, 2],
+                     p[:, 0], p[:, 1], p[:, 2], dec_amount_ray],
+                    axis=0,
+                ),
+                jnp.int32,
+            ),
+            k[None],
+        ],
+        axis=0,
+    )                                      # (8, N) int32
+
+    worst_seg = n_rays * ((n_steps + C - 1) // C)
+    Fc = min(_GATE_COARSE_CHUNK, max(int(cfg.raycast_flat_chunk), 1024),
+             _next_pow2(max(worst_seg, 1024)))
+    W_seg = min(max(Fc // _GATE_FINE_DIV, _GATE_MIN_FINE), Fc)
+    Wf = W_seg * C                          # samples per fine launch
+    slice_rays = min(_GATE_SLICE_RAYS, n_rays, Fc)
+
+    half_n = jnp.asarray(0.5 * n, dt)
+
+    def _cell_idx_planar(cx, cy):
+        ix = jnp.clip(jnp.trunc(cx / cfg.resolution + half_n).astype(jnp.int32), 0, n - 1)
+        iy = jnp.clip(jnp.trunc(cy / cfg.resolution + half_n).astype(jnp.int32), 0, n - 1)
+        return n * ix + iy, ix, iy
+
+    def _crows_sliced(lo, base_r):
+        """Delta+cumsum reconstruction of per-segment ray rows (the flat
+        march's scheme over the segment-start table; int32 telescoping is
+        exact, ties at shared starts resolve to the last ray as the gather
+        path would)."""
+        sl = jax.lax.dynamic_slice(
+            coarse_tbl, (0, jnp.minimum(base_r, n_rays - slice_rays)), (6, slice_rays)
+        )
+        d6 = sl - jnp.concatenate([sl[:, :1], sl[:, :-1]], axis=1)
+        pos = sl[3] - lo
+        ok = (pos > 0) & (pos < Fc)
+        posc = jnp.clip(pos, 0, Fc)
+        buf = jnp.zeros((6, Fc + 1), jnp.int32)
+        buf = buf.at[:, posc].add(jnp.where(ok, d6, 0), indices_are_sorted=True,
+                                  unique_indices=False)
+        base_col = jax.lax.dynamic_slice(coarse_tbl, (0, base_r), (6, 1))
+        buf = buf.at[:, 0].add(base_col[:, 0])
+        return jnp.cumsum(buf[:, :Fc], axis=1)
+
+    def _crows_gathered(lo, base_r):
+        base = jnp.searchsorted(seg_starts, lo, side="left").astype(jnp.int32)
+        pos = seg_starts - lo
+        in_chunk = (pos >= 0) & (pos < Fc)
+        ind = jnp.zeros((Fc,), jnp.int32).at[
+            jnp.where(in_chunk, pos, 0)
+        ].add(jnp.where(in_chunk, 1, 0))
+        ray = jnp.clip(base + jnp.cumsum(ind) - 1, 0, n_rays - 1)
+        return coarse_tbl[:, ray]
+
+    zero_cells = jnp.zeros((n * n,), dt)
+    init = (
+        jnp.zeros((), jnp.int32),
+        zero_cells,
+        zero_cells,
+        jnp.full((n * n,), jnp.inf, dt),
+    )
+
+    def cond(carry):
+        return carry[0] * Fc < total_seg
+
+    def body(carry):
+        jc, dec, var, ubmin = carry
+        lo = jc * Fc
+        base_r = jnp.maximum(
+            jnp.searchsorted(seg_starts, lo, side="right").astype(jnp.int32) - 1, 0
+        )
+        hi = jnp.searchsorted(seg_starts, lo + Fc, side="left").astype(jnp.int32)
+        fits = hi <= jnp.minimum(base_r, n_rays - slice_rays) + slice_rays
+        bits6 = jax.lax.cond(fits, _crows_sliced, _crows_gathered, lo, base_r)
+        rd3 = jax.lax.bitcast_convert_type(bits6[:3], dt)
+        seg_id = lo + jnp.arange(Fc, dtype=jnp.int32)
+        live = seg_id < total_seg
+        m_lo = jnp.clip((seg_id - bits6[3]) * C, 0, max(n_steps - 1, 0))
+        m_hi = jnp.clip(jnp.minimum(m_lo + C, bits6[4]) - 1, 0, max(n_steps - 1, 0))
+        s_lo = (m_lo + 1).astype(dt) * step
+        s_hi = (m_hi + 1).astype(dt) * step
+        x0 = t[0] + rd3[0] * s_lo
+        y0 = t[1] + rd3[1] * s_lo
+        nz_min = jnp.minimum(t[2] + rd3[2] * s_lo, t[2] + rd3[2] * s_hi)
+        _, ix, iy = _cell_idx_planar(x0, y0)
+        gate = gate_tbl[(ix // B) * nb + (iy // B)]
+        survive = live & (nz_min < gate + gate_eps)
+
+        # compaction: positions clip(cnt-1) are NON-DECREASING (dead entries
+        # repeat the previous survivor's slot with a zero add), so the sorted
+        # hint is truthful and each survivor slot receives exactly one
+        # nonzero contribution
+        cnt = jnp.cumsum(survive.astype(jnp.int32))
+        S = cnt[-1]
+        posc = jnp.clip(cnt - 1, 0, Fc - 1)
+        rbuf = jnp.zeros((Fc,), jnp.int32).at[posc].add(
+            jnp.where(survive, bits6[5], 0),
+            indices_are_sorted=True, unique_indices=False,
+        )
+        mbuf = jnp.zeros((Fc,), jnp.int32).at[posc].add(
+            jnp.where(survive, m_lo, 0),
+            indices_are_sorted=True, unique_indices=False,
+        )
+
+        def fcond(fc):
+            return fc[0] < S
+
+        def fbody(fc):
+            off, dec, var, ubmin = fc
+            wi = off + jnp.arange(W_seg, dtype=jnp.int32)
+            wvalid = wi < S
+            wic = jnp.minimum(wi, Fc - 1)
+            ray = rbuf[wic]
+            mlo = mbuf[wic]
+            cols = fine_tbl[:, ray]                          # (8, W_seg)
+            row7 = jax.lax.bitcast_convert_type(cols[:7], dt)
+            fk = cols[7]
+            # Expansion layout is (C, W_seg): sublane dim exactly C = 8,
+            # lane dim a multiple of 128 — zero tile padding. (The (W_seg, C)
+            # orientation pads the trailing 8-wide dim to 128 lanes: 16-128x
+            # HBM blowup on every materialized temp, OOM at compile.) Sample
+            # order within a launch is (step-within-segment major), which is
+            # irrelevant: dec/var are order-free adds, ubmin is a min, and
+            # `fresh` recomputes the predecessor cell directly.
+            m = (mlo[None, :] + jnp.arange(C, dtype=jnp.int32)[:, None])  # (C, W_seg)
+            livef = (wvalid[None, :] & (m < fk[None, :])).reshape(-1)
+            mf = m.reshape(-1)
+
+            def bc(row):                                     # (W_seg,) -> (Wf,)
+                return jnp.broadcast_to(row[None, :], (C, W_seg)).reshape(-1)
+
+            rdx, rdy, rdz = bc(row7[0]), bc(row7[1]), bc(row7[2])
+            pex, pey, pez = bc(row7[3]), bc(row7[4]), bc(row7[5])
+            dec_amount = bc(row7[6])
+            s_cur = (mf + 1).astype(dt) * step               # == steps[mf]
+            sx = t[0] + rdx * s_cur
+            sy = t[1] + rdy * s_cur
+            nz = t[2] + rdz * s_cur
+            nidx, ix, iy = _cell_idx_planar(sx, sy)
+            # previous-step cell recomputed from the ray row: bit-identical
+            # to the scan's `last` carry (same formula, same inputs)
+            s_prev = mf.astype(dt) * step                    # == steps[mf - 1]
+            pidx, _, _ = _cell_idx_planar(t[0] + rdx * s_prev, t[1] + rdy * s_prev)
+            fresh = (mf == 0) | (nidx != pidx)
+            inside = (ix > 0) & (ix < n - 1) & (iy > 0) & (iy < n - 1)
+            d = ((pex - sx) ** 2 + (pey - sy) ** 2) + (pez - nz) ** 2
+            active = livef & fresh & inside & (d >= 0.1)
+
+            row = pack[:, nidx]
+            ub_cond = nz < row[2]
+            write_ub_a = active & (row[3] == 1.0) & ub_cond
+            penet = row[0] > nz + 0.01 - row[1]
+            product = rdx * row[4] + rdy * row[5] + rdz * row[6]
+            not_vertical = jnp.abs(product) >= cfg.cleanup_cos_thresh
+            hit = active & (row[3] == 2.0) & penet & not_vertical
+
+            adds = scatter.scatter_add_streams_2d(
+                n, n, nidx,
+                [jnp.where(hit, dec_amount, 0.0).astype(dt),
+                 jnp.ones_like(dec_amount)],
+                hit,
+                exact=(False, True),
+            ).reshape(2, -1)
+            dec = dec + adds[0]
+            var = var + adds[1] * cfg.outlier_variance
+
+            write_ub = write_ub_a | (hit & ub_cond)
+            key2 = jnp.where(write_ub, nz, jnp.inf)
+            skey, snz = jax.lax.sort((nidx, key2), num_keys=2)
+            cells = jnp.arange(n * n, dtype=nidx.dtype)
+            pos = jnp.searchsorted(skey, cells, side="left")
+            posm = jnp.minimum(pos, Wf - 1)
+            cellmin = jnp.where(skey[posm] == cells, snz[posm], jnp.inf)
+            ubmin = jnp.minimum(ubmin, cellmin)
+            return (off + W_seg, dec, var, ubmin)
+
+        _, dec, var, ubmin = jax.lax.while_loop(
+            fcond, fbody, (jnp.zeros((), jnp.int32), dec, var, ubmin)
+        )
+        return (jc + 1, dec, var, ubmin)
 
     _, dec, var, ubmin = jax.lax.while_loop(cond, body, init)
 

@@ -114,6 +114,81 @@ def test_exact_flat_matches_exact_scan(rng):
     np.testing.assert_array_equal(c[5], a[5])
 
 
+def _writer_rich_scene(rng, cfg, n_pts=20000):
+    """Converged map with an invalid hole (code-1 ub writes) + a low second
+    cloud whose rays penetrate the old surface (code-2 hits) — both gated-
+    march write branches execute."""
+    w = default_weights()
+    R = jnp.eye(3)
+    t3 = np.array([0, 0, 0.6], np.float32)
+    z0 = jnp.float32(0)
+    state = init_state(cfg)
+    pts0 = rng.uniform(-1.8, 1.8, (n_pts, 3)).astype(np.float32)
+    pts0[:, 2] = rng.uniform(-0.15, 0.25, n_pts)
+    hole = (np.abs(pts0[:, 0] - 0.8) < 0.3) & (np.abs(pts0[:, 1]) < 0.3)
+    pts0[hole] = 0.0  # collapse hole points to the (invalid-range) origin
+    state = core.update_pointcloud(
+        state, jnp.asarray(pts0), jnp.asarray(~hole), R, jnp.asarray(t3),
+        z0, z0, w, cfg,
+    )
+    for _ in range(7):
+        state = core.update_time(state, cfg)
+    pts = rng.uniform(-1.8, 1.8, (n_pts, 3)).astype(np.float32)
+    pts[:, 2] = rng.uniform(-0.6, -0.3, n_pts)
+    t_c = jnp.asarray(t3) - state.center
+    assoc = associate_points(jnp.asarray(pts), jnp.ones(n_pts, bool), R, t_c, cfg)
+    counts = pcops.error_counting(state.layers, assoc, cfg)
+    layers, _ = pcops.point_fusion(state.layers, assoc, counts.point_cnt, cfg)
+    return layers, state.normal, assoc, counts.inlier_cnt, t_c
+
+
+def test_exact_gated_matches_exact_scan(rng):
+    """The segment-gated march (conservative block-max z culling,
+    ops/raycast.py::_exact_gated) must reproduce the scan bit-for-bit on the
+    order-free upper-bound layers and within summation-order tolerance on
+    dec/var — on a scene with BOTH write branches live (2k+ writer cells)."""
+    cfg = MapConfig(
+        resolution=0.05, map_length=4.0, max_ray_length=2.5, max_points=20000,
+        enable_drift_compensation=False,
+    )
+    layers, normal, assoc, inlier, t_c = _writer_rich_scene(rng, cfg)
+    a = np.asarray(rc._exact_scan(layers, normal, assoc, inlier, t_c, cfg))
+    base = np.asarray(layers)
+    assert (np.abs(a[2] - base[2]) > 0).sum() > 500, "scene must have real writers"
+    g = np.asarray(rc._exact_gated(layers, normal, assoc, inlier, t_c, cfg))
+    np.testing.assert_allclose(g, a, atol=5e-5)
+    np.testing.assert_array_equal(g[5], a[5])
+    np.testing.assert_array_equal(g[6], a[6])
+
+
+def test_exact_gated_multi_launch_and_fallback(rng, monkeypatch):
+    """Adaptive regimes: a small chunk forces many coarse trips; shrinking
+    the fine-launch width forces multiple inner launches per coarse chunk
+    (survivors > W_seg); shrinking _FLAT_SLICE_RAYS forces the coarse
+    gathered-reconstruction fallback. All must stay scan-equal."""
+    cfg = MapConfig(
+        resolution=0.05, map_length=4.0, max_ray_length=2.5, max_points=20000,
+        enable_drift_compensation=False, raycast_flat_chunk=16384,
+    )
+    layers, normal, assoc, inlier, t_c = _writer_rich_scene(rng, cfg)
+    a = np.asarray(rc._exact_scan(layers, normal, assoc, inlier, t_c, cfg))
+
+    # tiny fine-launch floor: any coarse chunk with >64 survivors takes
+    # multiple inner launches (writer-dense low cloud guarantees that)
+    monkeypatch.setattr(rc, "_GATE_MIN_FINE", 64)
+    g = np.asarray(rc._exact_gated(layers, normal, assoc, inlier, t_c, cfg))
+    np.testing.assert_allclose(g, a, atol=5e-5)
+    np.testing.assert_array_equal(g[5], a[5])
+    monkeypatch.setattr(rc, "_GATE_MIN_FINE", 1024)
+
+    for width in (64, 512):
+        monkeypatch.setattr(rc, "_GATE_SLICE_RAYS", width)
+        g = np.asarray(rc._exact_gated(layers, normal, assoc, inlier, t_c, cfg))
+        np.testing.assert_allclose(g, a, atol=5e-5)
+        np.testing.assert_array_equal(g[5], a[5])
+        np.testing.assert_array_equal(g[6], a[6])
+
+
 def test_exact_flat_gathered_fallback_executes(rng, monkeypatch):
     """Force the _rows_gathered fallback branch to EXECUTE (VERDICT r3
     weak #3 / ADVICE): with _FLAT_SLICE_RAYS shrunk, chunks spanning more
@@ -210,13 +285,17 @@ def test_polar_trajectory_divergence_bound(rng, tmp_path):
     The single-update aggregate bound above doesn't rule out accumulated
     drift; this replays a 2.8 m traverse (multiple recenters) with a
     transient obstacle that raycast must clear, and bounds the per-frame
-    divergence. Committed bound (measured worst frame: IoU 0.989,
-    frac(dt>0.1) 5.9%, p99 0.33): elevation identical on jointly-valid
-    cells, validity IoU > 0.95 every frame, traversability frac(>0.1) < 10%
-    and p99 < 0.45 where both finite — disagreement is local validity flips
-    at obstacle edges, not accumulated drift. Parity replays should still
-    use raycast_mode="exact" (runtime/replay.py); this bound is what
-    "polar in production" costs.
+    divergence. Committed bound (round-4 remeasurement at the saturated
+    auto azimuth bins = 512 for this 42-cell map: worst-frame p99 0.221,
+    frac(dt>0.1) 2.7%): elevation identical on jointly-valid cells,
+    validity IoU > 0.95 every frame, traversability frac(>0.1) < 6% and
+    p99 < 0.33 where both finite. The mechanism behind the residual — a
+    handful of cumulative validity-decrement flips at transient-obstacle
+    shadow boundaries, amplified through the traversability CNN's 7x7
+    receptive field, saturated w.r.t. every bin count — is documented with
+    the experiment matrix in PARITY.md ("Trajectory polar-vs-exact
+    divergence"). Parity replays should still use raycast_mode="exact"
+    (runtime/replay.py); this bound is what "polar in production" costs.
     """
     from elevation_mapping_cupy_tpu.runtime.replay import LogWriter, replay
 
@@ -257,8 +336,8 @@ def test_polar_trajectory_divergence_bound(rng, tmp_path):
         dt = np.abs(e["traversability"][fe] - p["traversability"][fe])
         frac = float(np.mean(dt > 0.1))
         p99 = float(np.quantile(dt, 0.99))
-        assert frac < 0.10, f"frame {k}: {frac:.3f} of cells disagree >0.1"
-        assert p99 < 0.45, f"frame {k}: traversability p99 {p99:.4f}"
+        assert frac < 0.06, f"frame {k}: {frac:.3f} of cells disagree >0.1"
+        assert p99 < 0.33, f"frame {k}: traversability p99 {p99:.4f}"
 
 
 def test_raycast_routing_constants_pinned_and_overridable(monkeypatch):
