@@ -737,6 +737,20 @@ def bench_exact() -> None:
             state = core.update_pointcloud(state, points, mask, R, t, zero, zero, w, cfg)
         _ = float(jnp.sum(state.layers[2]))
         out[str(n_pts)] = round((time.perf_counter() - t0) / n_iters, 4)
+        if n_pts >= 1_000_000:
+            # worst-case companion figure: age the time layer so every cell
+            # is hit-eligible — the segment gate culls ~nothing (91% of
+            # samples genuinely penetrate on this adversarial cloud) and the
+            # march degrades to the ungated flat cost. Same compiled shapes
+            # (data-only change), so this costs one extra update, not a
+            # compile.
+            for _i in range(7):
+                state = core.update_time(state, cfg)
+            _ = float(jnp.sum(state.layers[4]))
+            t0 = time.perf_counter()
+            state = core.update_pointcloud(state, points, mask, R, t, zero, zero, w, cfg)
+            _ = float(jnp.sum(state.layers[2]))
+            out[f"{n_pts}_aged_nocull"] = round(time.perf_counter() - t0, 4)
     headline = out[str(sizes[-1])]
     r2_scan_s = 7.51  # round-2 step-serialized scan at the same operating point
     print(json.dumps({
@@ -747,7 +761,7 @@ def bench_exact() -> None:
         "extra": {
             "latency_s_by_points": out,
             "n_ray_steps": steps,
-            "impl": "flat (compacted (ray,step) expansion)",
+            "impl": "gated (segment-culled flat march; auto routing)",
             "vs_baseline_note": "speedup vs the r2 scan march (7.51 s) at "
                                 "the same deployed YAML + 1M uniform cloud",
         },

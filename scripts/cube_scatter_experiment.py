@@ -124,3 +124,23 @@ def sort_only(a_idx, r_idx, s_idx, inv, active):
     key = jnp.where(active, cube_idx, NB)
     return jax.lax.sort((key, inv), num_keys=1)
 timeit("   (sort alone)", sort_only, *args)
+
+# ---------------------------------------------------------------------------
+# RESULTS (TPU v5e, jax 0.9.0, 2026-08-21 — round 4, N=1M, 23.3M bins):
+#   a) current: two random scatter-adds        22.7 ms
+#   b) sort + two sorted scatter-adds          21.8 ms   (match; sort alone
+#                                                         is 18.6 ms of it)
+#   d) sort + one 2-column sorted scatter      87.2 ms   (rejected: slower)
+#   c) sort + run-boundary searchsorted        3923 ms   (rejected: 23M
+#                                                         run-head queries)
+#
+# Conclusion (closes VERDICT r3 item 6): the XLA random-scatter floor
+# STANDS. Sorting converts the scatters to near-sequential writes (~3 ms
+# for both), but the radix/merge sort itself costs 18.6 ms — the same HBM
+# random-traffic bill paid in a different currency. The azimuth-tiled
+# Pallas alternative is ruled out separately: Mosaic on this toolchain has
+# no in-kernel dynamic scatter (scripts/probe_pallas_gather.py), and the
+# MXU one-hot formulation is O(bins) per tile — 23M bins makes it
+# unviable. The polar cube's two scatter-adds therefore remain the
+# documented memory-system floor (docs/DEPLOYMENT.md roofline table).
+# ---------------------------------------------------------------------------
