@@ -108,10 +108,14 @@ class MapConfig:
     # (lax.scan, n_ray_steps serialized rounds); "flat" = ragged (ray, step)
     # expansion compacted to the active samples and processed in fixed-size
     # chunks (O(sum of per-ray live steps) total scatter work instead of
-    # O(n_steps * max_points); ~10x fewer serialized rounds at the deployed
-    # operating point); "auto" = flat once the march is large enough to
-    # amortize the expansion machinery. Both produce bit-identical per-sample
-    # contributions; only float summation order differs (<= 1e-6 relative).
+    # O(n_steps * max_points)); "gated" = flat plus conservative segment
+    # culling — ray segments that provably contain no writer (block-max
+    # z-threshold gate) skip the per-sample pipeline entirely (~2x faster
+    # when writers are sparse, ~15% slower in the adversarial everything-
+    # penetrates regime — pick "flat" for such workloads); "auto" = gated
+    # once the march is large enough to amortize the expansion machinery.
+    # All produce bit-identical per-sample contributions; only float
+    # summation order differs (<= 1e-6 relative).
     raycast_exact_impl: str = "auto"
     # static sample-chunk size for the flat exact march (memory knob: each
     # chunk materializes ~25 floats/sample of transients)

@@ -29,7 +29,7 @@ def _sample_cfg(rng) -> MapConfig:
         map_length=1.4,                      # cell_n = 16: compile stays small
         max_points=256,
         raycast_mode="exact",                # the oracle's semantics
-        raycast_exact_impl=rng.choice(["scan", "flat"]),
+        raycast_exact_impl=rng.choice(["scan", "flat", "gated"]),
         raycast_flat_chunk=int(rng.choice([1024, 4096])),
         sensor_noise_factor=float(10 ** u(-3, -0.7)),
         mahalanobis_thresh=float(u(1.0, 4.0)),
