@@ -28,6 +28,7 @@ from .state import MapState
 
 __all__ = [
     "update_pointcloud",
+    "update_pointcloud_aux",
     "update_pointcloud_semantic",
     "input_image",
     "move_to",
@@ -91,6 +92,28 @@ def update_pointcloud_semantic(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def update_pointcloud_aux(
+    state: MapState,
+    points: jax.Array,
+    pad_mask: jax.Array,
+    R: jax.Array,
+    t: jax.Array,
+    position_noise: jax.Array,
+    orientation_noise: jax.Array,
+    weights: TravWeights,
+    cfg: MapConfig,
+) -> Tuple[MapState, dict]:
+    """``update_pointcloud`` plus an aux dict of host-consumable step
+    telemetry: ``gate_survivor_frac`` (f32 scalar) — the gated raycast's
+    segment survivor fraction, 1.0 for every other raycast path — feeding
+    :class:`ops.raycast.AdaptiveExactRouter`'s gated/flat routing loop."""
+    return _update_impl(
+        state, points, pad_mask, R, t, position_noise, orientation_noise,
+        weights, cfg, (), with_aux=True,
+    )
+
+
 def _update_impl(
     state: MapState,
     points_all: jax.Array,
@@ -102,6 +125,7 @@ def _update_impl(
     weights: TravWeights,
     cfg: MapConfig,
     channels: Tuple[str, ...],
+    with_aux: bool = False,
 ) -> MapState:
     from .semantic.update import update_semantic_pointcloud
 
@@ -123,7 +147,9 @@ def _update_impl(
     )
     # fusion decisions read the drift-compensated snapshot (R1)
     layers, newmap = pc.point_fusion(layers, assoc, counts.point_cnt, cfg, cell_rows, h_delta)
-    layers = rc.visibility_cleanup(layers, state.normal, assoc, counts.inlier_cnt, t_c, cfg)
+    layers, ray_aux = rc.visibility_cleanup(
+        layers, state.normal, assoc, counts.inlier_cnt, t_c, cfg, with_aux=True
+    )
     layers = pc.average_map(layers, newmap, cfg)
 
     semantic, sem_new, id_max = state.semantic, state.sem_new, state.id_max
@@ -144,7 +170,7 @@ def _update_impl(
     trav_input, _ = stencil.dilation_fill(layers[5], layers[2] + layers[6], cfg.dilation_size)
     layers = _apply_traversability(layers, trav_input, weights)
     normal = stencil.surface_normals(trav_input, layers[2], cfg.resolution)
-    return state._replace(
+    out = state._replace(
         layers=layers,
         normal=normal,
         semantic=semantic,
@@ -153,6 +179,9 @@ def _update_impl(
         mean_error=mean_error,
         additive_mean_error=additive,
     )
+    if with_aux:
+        return out, ray_aux
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "channels"))

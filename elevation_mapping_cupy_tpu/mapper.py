@@ -128,6 +128,12 @@ class ElevationMap:
         weight_file: Optional[str] = None,
         plugin_config_file: Optional[str] = None,
     ):
+        # backend is about to be used anyway: route the persistent compile
+        # cache to the live backend's dir (utils/compile_cache.py)
+        from .utils.compile_cache import ensure_compile_cache
+
+        ensure_compile_cache()
+
         self.cfg = cfg
         self.cell_n = cfg.cell_n
         self.resolution = cfg.resolution
@@ -156,6 +162,13 @@ class ElevationMap:
         self.plugin_manager = PluginManager(cell_n=self.cell_n)
         if plugin_config_file:
             self.plugin_manager.load_plugin_settings(plugin_config_file)
+
+        # gated/flat routing loop for raycast_exact_impl="auto" (VERDICT r4
+        # item 5): the previous update's gate survivor fraction routes the
+        # next update off the gated march when the gate culls too little
+        from .ops.raycast import AdaptiveExactRouter
+
+        self._exact_router = AdaptiveExactRouter(cfg)
 
     # ------------------------------------------------------------------ util
     @property
@@ -254,7 +267,17 @@ class ElevationMap:
         if additional:
             self.state = core.update_pointcloud_semantic(*args, additional)
         else:
-            self.state = core.update_pointcloud(*args[:1] + (pts[:, :3],) + args[2:])
+            impl = self._exact_router.route()
+            if impl is not None:
+                cfg_step = self.cfg.replace(raycast_exact_impl=impl)
+                self.state, aux = core.update_pointcloud_aux(
+                    *args[:1] + (pts[:, :3],) + args[2:-1] + (cfg_step,)
+                )
+                self._exact_router.observe(impl, aux["gate_survivor_frac"])
+            else:
+                self.state = core.update_pointcloud(
+                    *args[:1] + (pts[:, :3],) + args[2:]
+                )
 
     def input_image(
         self,

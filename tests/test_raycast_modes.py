@@ -155,7 +155,7 @@ def test_exact_gated_matches_exact_scan(rng):
     a = np.asarray(rc._exact_scan(layers, normal, assoc, inlier, t_c, cfg))
     base = np.asarray(layers)
     assert (np.abs(a[2] - base[2]) > 0).sum() > 500, "scene must have real writers"
-    g = np.asarray(rc._exact_gated(layers, normal, assoc, inlier, t_c, cfg))
+    g = np.asarray(rc._exact_gated(layers, normal, assoc, inlier, t_c, cfg)[0])
     np.testing.assert_allclose(g, a, atol=5e-5)
     np.testing.assert_array_equal(g[5], a[5])
     np.testing.assert_array_equal(g[6], a[6])
@@ -176,14 +176,14 @@ def test_exact_gated_multi_launch_and_fallback(rng, monkeypatch):
     # tiny fine-launch floor: any coarse chunk with >64 survivors takes
     # multiple inner launches (writer-dense low cloud guarantees that)
     monkeypatch.setattr(rc, "_GATE_MIN_FINE", 64)
-    g = np.asarray(rc._exact_gated(layers, normal, assoc, inlier, t_c, cfg))
+    g = np.asarray(rc._exact_gated(layers, normal, assoc, inlier, t_c, cfg)[0])
     np.testing.assert_allclose(g, a, atol=5e-5)
     np.testing.assert_array_equal(g[5], a[5])
     monkeypatch.setattr(rc, "_GATE_MIN_FINE", 1024)
 
     for width in (64, 512):
         monkeypatch.setattr(rc, "_GATE_SLICE_RAYS", width)
-        g = np.asarray(rc._exact_gated(layers, normal, assoc, inlier, t_c, cfg))
+        g = np.asarray(rc._exact_gated(layers, normal, assoc, inlier, t_c, cfg)[0])
         np.testing.assert_allclose(g, a, atol=5e-5)
         np.testing.assert_array_equal(g[5], a[5])
         np.testing.assert_array_equal(g[6], a[6])
@@ -441,3 +441,106 @@ def test_polar_terrain_fidelity(terrain, tmp_path):
         p99 = float(np.quantile(dt, 0.99))
         assert frac < frac_max, f"{terrain} frame {k}: frac {frac:.4f}"
         assert p99 < p99_max, f"{terrain} frame {k}: trav p99 {p99:.4f}"
+
+
+def test_exact_gated_seg_block_pairing_guard(monkeypatch):
+    """ADVICE r4 (medium): GATE_SEG/GATE_BLOCK are independently
+    env-overridable; an unpaired override that breaks the coverage
+    invariant (C-1)*ray_step <= B*resolution must fail LOUDLY instead of
+    silently culling true writers."""
+    cfg = MapConfig(resolution=0.05, map_length=4.0, max_ray_length=2.5,
+                    max_points=2048, enable_drift_compensation=False)
+    monkeypatch.setattr(rc, "_GATE_SEG", 16)   # span ~10.6 cells vs 8 covered
+    monkeypatch.setattr(rc, "_GATE_BLOCK", 8)
+    layers = init_state(cfg).layers
+    with pytest.raises(ValueError, match="coverage invariant"):
+        rc._exact_gated(layers, jnp.zeros((3,) + layers.shape[1:]), None,
+                        jnp.zeros(layers.shape[1:]), jnp.zeros(3), cfg)
+    # a PAIRED override keeps the invariant and must be accepted past the
+    # guard (it fails later on assoc=None, proving the guard let it through)
+    monkeypatch.setattr(rc, "_GATE_BLOCK", 11)  # ceil(15/sqrt(2)) = 11
+    with pytest.raises(AttributeError):
+        rc._exact_gated(layers, jnp.zeros((3,) + layers.shape[1:]), None,
+                        jnp.zeros(layers.shape[1:]), jnp.zeros(3), cfg)
+
+
+def test_gated_survivor_fraction_aux(rng):
+    """The gated march's survivor fraction (the AdaptiveExactRouter routing
+    signal) must be ~0 when the gate culls everything (rays far above any
+    writable cell) and large on a writer-rich scene."""
+    cfg = MapConfig(
+        resolution=0.05, map_length=4.0, max_ray_length=2.5, max_points=20000,
+        enable_drift_compensation=False,
+    )
+    layers, normal, assoc, inlier, t_c = _writer_rich_scene(rng, cfg)
+    _, frac_rich = rc._exact_gated(layers, normal, assoc, inlier, t_c, cfg)
+    frac_rich = float(frac_rich)
+    assert 0.0 < frac_rich <= 1.0
+
+    # raise every ray high above the map: no segment can pass the z gate
+    hi = np.asarray(assoc.world).copy()
+    hi[:, 2] += 50.0
+    assoc_hi = assoc._replace(world=jnp.asarray(hi))
+    t_hi = t_c + jnp.asarray([0.0, 0.0, 50.0])
+    out_hi, frac_hi = rc._exact_gated(layers, normal, assoc_hi, inlier, t_hi, cfg)
+    # a few % of segments still survive: invalid cells with no upper bound
+    # yet carry a +inf gate (any ray above them is an upper-bound candidate)
+    assert float(frac_hi) < 0.10
+    assert frac_rich > float(frac_hi)
+    # heavily-culled output still scan-exact
+    s_hi = np.asarray(rc._exact_scan(layers, normal, assoc_hi, inlier, t_hi, cfg))
+    np.testing.assert_allclose(np.asarray(out_hi), s_hi, atol=5e-5)
+
+
+def test_adaptive_exact_router_policy(monkeypatch):
+    """Routing loop (VERDICT r4 item 5): high survivor fraction routes the
+    NEXT update to flat, with a gated probe every probe_period updates;
+    a low fraction routes straight back to gated."""
+    monkeypatch.setattr(rc, "_FLAT_MIN_SAMPLES", 1)   # make tiny cfg eligible
+    cfg = MapConfig(resolution=0.05, map_length=4.0, max_ray_length=2.5,
+                    max_points=4096, raycast_mode="exact")
+    r = rc.AdaptiveExactRouter(cfg, threshold=0.8, probe_period=4)
+    assert r.route() == "gated"                       # no observation yet
+    r.observe("gated", 0.95)                          # gate culls almost nothing
+    seq = []
+    for _ in range(8):
+        impl = r.route()
+        seq.append(impl)
+        r.observe(impl, 0.95 if impl == "gated" else 1.0)
+    # flat runs with a gated probe every 4th update
+    assert seq == ["flat", "flat", "flat", "gated", "flat", "flat", "flat", "gated"]
+    r.observe("gated", 0.1)                           # map rejuvenated
+    assert r.route() == "gated"
+
+    # ineligible configs (polar production route) never reroute
+    r2 = rc.AdaptiveExactRouter(MapConfig())          # auto -> polar at scale
+    assert r2.route() is None
+
+
+def test_mapper_adaptive_routing_integration(rng, monkeypatch):
+    """ElevationMap.input_pointcloud drives the router end-to-end: the aux
+    survivor fraction lands in the router and successive updates stay
+    numerically consistent with the fixed-impl path."""
+    from elevation_mapping_cupy_tpu.mapper import ElevationMap
+
+    monkeypatch.setattr(rc, "_FLAT_MIN_SAMPLES", 1)
+    cfg = MapConfig(resolution=0.1, map_length=4.0, max_ray_length=1.5,
+                    max_points=4096, raycast_mode="exact",
+                    enable_drift_compensation=False)
+    em = ElevationMap(cfg)
+    em_fixed = ElevationMap(cfg.replace(raycast_exact_impl="gated"))
+    pts = rng.uniform(-1.8, 1.8, (3000, 3)).astype(np.float32)
+    pts[:, 2] = rng.uniform(-0.2, 0.2, 3000)
+    R = np.eye(3, dtype=np.float32)
+    t = np.array([0, 0, 0.5], np.float32)
+    for _ in range(2):
+        em.input_pointcloud(pts, ["x", "y", "z"], R, t, 0.0, 0.0)
+        em_fixed.input_pointcloud(pts, ["x", "y", "z"], R, t, 0.0, 0.0)
+    assert em._exact_router._last_frac is not None
+    assert 0.0 <= float(em._exact_router._last_frac) <= 1.0
+    # both first updates ran gated; outputs of the adaptive path must agree
+    # with the pinned-gated path within impl summation-order tolerance
+    np.testing.assert_allclose(
+        np.asarray(em.state.layers), np.asarray(em_fixed.state.layers),
+        atol=5e-5,
+    )
