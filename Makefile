@@ -1,0 +1,12 @@
+# Dev-loop entry points. `make test` is THE one-command full suite — see
+# scripts/test.sh for why it shards the run into pytest processes.
+.PHONY: test test-fast bench
+
+test:
+	bash scripts/test.sh
+
+test-fast:  ## one chunked process per half, first failure aborts
+	bash scripts/test.sh 2 -x
+
+bench:
+	python bench.py

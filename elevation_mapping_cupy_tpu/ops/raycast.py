@@ -923,10 +923,13 @@ class AdaptiveExactRouter:
     closes the loop (VERDICT r4 item 5): it keeps the LAST gated update's
     fraction and routes the NEXT update to "flat" once it exceeds
     ``_GATE_SURV_ROUTE`` (default 0.8 ≈ the measured breakeven). Because the
-    flat march runs no gate, a gated PROBE every ``_GATE_PROBE_PERIOD``
-    updates (default 8) re-measures, bounding the stuck-in-flat overhead at
-    +14%/period ≈ +1.8% while converging back within one period when the
-    map rejuvenates.
+    flat march runs no gate, gated PROBES re-measure — with exponential
+    backoff (1, 2, 4, ... flat updates between probes, capped at
+    ``_GATE_PROBE_PERIOD - 1``): a TRANSIENT high fraction (e.g. the very
+    first update on an empty map, where every cell's gate is +inf) costs a
+    single flat update before the next probe re-routes, while a PERSISTENT
+    aged regime converges to one probe per period, bounding the overhead at
+    +14%/period ≈ +1.8%.
 
     Usage (see ``mapper.ElevationMap.input_pointcloud`` and bench exact):
 
@@ -958,18 +961,30 @@ class AdaptiveExactRouter:
         )
         self._last_frac = None        # device scalar or float from last probe
         self._flat_streak = 0
+        self._flat_budget = 1         # doubles on confirming probes
+        self._probe_pending = False
 
     def route(self):
         """Implementation for the next update: "gated"/"flat", or None when
         the static `auto` resolution (scan for tiny marches) should stand."""
         if not self._eligible:
             return None
-        if self._last_frac is not None and float(self._last_frac) >= self.threshold:
-            if self._flat_streak < self.probe_period - 1:
+        frac = None if self._last_frac is None else float(self._last_frac)
+        if self._probe_pending:
+            # last gated run was a probe: confirming -> longer flat streak,
+            # refuting -> reset so the next flip re-probes immediately
+            self._probe_pending = False
+            if frac is not None and frac >= self.threshold:
+                self._flat_budget = min(self._flat_budget * 2,
+                                        max(self.probe_period - 1, 1))
+            else:
+                self._flat_budget = 1
+        if frac is not None and frac >= self.threshold:
+            if self._flat_streak < self._flat_budget:
                 self._flat_streak += 1
                 return "flat"
-            # periodic gated probe re-measures the survivor fraction
             self._flat_streak = 0
+            self._probe_pending = True
             return "gated"
         return "gated"
 

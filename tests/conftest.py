@@ -31,3 +31,16 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
+
+
+# Experiment hook for the late-session XLA:CPU SIGSEGV (scripts/test.sh has
+# the full story): with ELEV_TPU_CLEAR_CACHES_PER_MODULE=1 every test module
+# starts with jax.clear_caches(), dropping live compiled executables so a
+# single pytest process never accumulates the ~190 loaded programs the
+# crash correlates with (at the price of cross-module recompiles).
+if os.environ.get("ELEV_TPU_CLEAR_CACHES_PER_MODULE"):
+
+    @pytest.fixture(autouse=True, scope="module")
+    def _clear_jax_caches_per_module():
+        jax.clear_caches()
+        yield

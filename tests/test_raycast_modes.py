@@ -493,9 +493,12 @@ def test_gated_survivor_fraction_aux(rng):
 
 
 def test_adaptive_exact_router_policy(monkeypatch):
-    """Routing loop (VERDICT r4 item 5): high survivor fraction routes the
-    NEXT update to flat, with a gated probe every probe_period updates;
-    a low fraction routes straight back to gated."""
+    """Routing loop (VERDICT r4 item 5): a high survivor fraction routes the
+    NEXT update to flat; gated probes re-measure with exponential backoff
+    (1, 2, then capped at probe_period-1 flats between probes) so a
+    transient high reading costs one flat update while a persistent aged
+    regime converges to one probe per period; a low fraction routes
+    straight back to gated."""
     monkeypatch.setattr(rc, "_FLAT_MIN_SAMPLES", 1)   # make tiny cfg eligible
     cfg = MapConfig(resolution=0.05, map_length=4.0, max_ray_length=2.5,
                     max_points=4096, raycast_mode="exact")
@@ -503,14 +506,29 @@ def test_adaptive_exact_router_policy(monkeypatch):
     assert r.route() == "gated"                       # no observation yet
     r.observe("gated", 0.95)                          # gate culls almost nothing
     seq = []
-    for _ in range(8):
+    for _ in range(9):
         impl = r.route()
         seq.append(impl)
         r.observe(impl, 0.95 if impl == "gated" else 1.0)
-    # flat runs with a gated probe every 4th update
-    assert seq == ["flat", "flat", "flat", "gated", "flat", "flat", "flat", "gated"]
+    # backoff: 1 flat, probe, 2 flats, probe, 3 flats (cap 4-1), probe...
+    assert seq == ["flat", "gated", "flat", "flat", "gated",
+                   "flat", "flat", "flat", "gated"]
     r.observe("gated", 0.1)                           # map rejuvenated
     assert r.route() == "gated"
+    # ...and a later flip re-probes after a SINGLE flat (budget reset)
+    r.observe("gated", 0.95)
+    assert [r.route() for _ in range(2)] == ["flat", "gated"]
+
+    # transient cold-start: first update on an empty map reads frac~1, the
+    # single flat that follows is corrected by the immediate probe
+    r3 = rc.AdaptiveExactRouter(cfg, threshold=0.8, probe_period=8)
+    assert r3.route() == "gated"
+    r3.observe("gated", 1.0)                          # empty-map transient
+    assert r3.route() == "flat"
+    probe = r3.route()
+    assert probe == "gated"
+    r3.observe(probe, 0.05)                           # converged map now
+    assert r3.route() == "gated"
 
     # ineligible configs (polar production route) never reroute
     r2 = rc.AdaptiveExactRouter(MapConfig())          # auto -> polar at scale
