@@ -10,24 +10,17 @@ pure functional state transforms compiled by XLA, batched with vmap, and
 sharded over device meshes with shard_map.
 """
 
-import os as _os
-
 # Persistent compilation cache (utils/compile_cache.py): Pallas/Mosaic
 # kernels compile in minutes on tunneled TPU backends but are stable across
 # runs. The cache dir must be keyed to the ACTUAL backend — env sniffing
-# alone once routed XLA:CPU AOT results into the TPU dir (VERDICT r4 weak
-# #5), the exact machine-feature-mismatch hazard cpu_aot_loader.cc warns
-# about. At import time the backend may not be known, so:
-#   * JAX_PLATFORMS explicitly set -> enable now for that platform (cheap,
-#     no backend init);
-#   * otherwise defer — entry points (bench.py, runtime service, replay,
-#     __graft_entry__) call ensure_compile_cache() once the backend exists.
-if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
-    _plat = _os.environ.get("JAX_PLATFORMS", "").split(",")[0].strip()
-    if _plat:
-        from .utils.compile_cache import ensure_compile_cache as _ensure_cc
-
-        _ensure_cc(backend=_plat)
+# once routed XLA:CPU AOT results into the TPU dir (VERDICT r4 weak #5),
+# the exact machine-feature-mismatch hazard cpu_aot_loader.cc warns about,
+# and on this harness the env is actively misleading (sitecustomize force-
+# sets JAX_PLATFORMS=axon even for processes that then pick CPU via
+# jax.config). So NOTHING is enabled at import time: entry points
+# (ElevationMap, bench.py modes, replay, the runtime service) call
+# ensure_compile_cache() once the live backend exists, and the test
+# conftest pins its own isolated dir.
 
 from .config import MapConfig, load_config, load_config_with_extras
 from .state import MapState, init_state

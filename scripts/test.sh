@@ -1,18 +1,21 @@
 #!/usr/bin/env bash
-# One-command full-suite runner (VERDICT r4 item 2).
+# Chunked full-suite runner (VERDICT r4 item 2) — the belt-and-braces
+# fallback. Plain `JAX_PLATFORMS=cpu pytest tests/` works again: conftest
+# now clears jax's in-process caches per module (see conftest.py), which
+# fixes the crash this script routes around:
 #
-# Why not plain `pytest tests/`: on this host a single pytest process
-# SIGSEGVs (rc=139) after ~190 jitted programs, inside XLA:CPU executable
-# load — with the persistent cache enabled the crash lands in the cache
-# read (jax compilation_cache.py:238, reproduced 2026-08-21; the cached CPU
-# AOT results carry compile-machine pseudo-features the host feature probe
+# On this host a single long-lived pytest process used to SIGSEGV (rc=139)
+# after ~190 live jitted programs, inside XLA:CPU executable load — with
+# the persistent cache enabled the crash lands in the cache read (jax
+# compilation_cache.py:238, reproduced 2026-08-21; the cached CPU AOT
+# results carry compile-machine pseudo-features the host feature probe
 # lacks, and cpu_aot_loader.cc warns the mismatch "could lead to execution
 # errors such as SIGILL"), and with the cache disabled in the late-session
 # compile itself (VERDICT r4). Every subset is green; only the single
-# long-lived process crashes. This script therefore runs the suite as N
-# sequential pytest processes split at FILE boundaries (default 2 — each
-# chunk stays far below the ~190-program crash horizon) and fails if any
-# chunk fails — one command, every test, deterministic exit code.
+# long-lived process crashes. This script runs the suite as N sequential
+# pytest processes split at FILE boundaries (default 2 — each chunk stays
+# far below the crash horizon) and fails if any chunk fails — one command,
+# every test, deterministic exit code, independent of the conftest fix.
 #
 # Usage: scripts/test.sh [N_CHUNKS] [extra pytest args...]
 set -u
