@@ -59,8 +59,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=12)
     ap.add_argument("--points", type=int, default=100_000)
-    ap.add_argument("--azimuth-bins", type=int, default=0,
-                    help="polar azimuth bins (0 = config auto = 512 cap)")
+    ap.add_argument("--azimuth-bins", default="0",
+                    help="polar azimuth bins: one value or comma list to "
+                         "sweep (0 = config auto = 512 cap)")
     ap.add_argument("--seed", type=int, default=1234)
     ap.add_argument("--save-log", default=None)
     ap.add_argument("--platform", default=None,
@@ -81,9 +82,8 @@ def main() -> int:
                              "..", "configs", "core_param.yaml")
     cfg = load_config(yaml_path, max_points=args.points,
                       enable_drift_compensation=False)
-    if args.azimuth_bins:
-        cfg = cfg.replace(raycast_azimuth_bins=args.azimuth_bins)
-    print(json.dumps({"cell_n": cfg.cell_n, "azimuth_bins": cfg.azimuth_bins,
+    bin_sweep = [int(x) for x in str(args.azimuth_bins).split(",")]
+    print(json.dumps({"cell_n": cfg.cell_n, "azimuth_bins_sweep": bin_sweep,
                       "n_ray_steps": cfg.n_ray_steps, "frames": args.frames,
                       "points": args.points}), flush=True)
 
@@ -98,42 +98,45 @@ def main() -> int:
     ex = replay(path, cfg, snapshot_layers=layers, raycast_mode="exact")
     t_ex = time.perf_counter() - t0
     print(json.dumps({"exact_replay_s": round(t_ex, 1)}), flush=True)
-    t0 = time.perf_counter()
-    po = replay(path, cfg, snapshot_layers=layers, raycast_mode="polar")
-    t_po = time.perf_counter() - t0
-    print(json.dumps({"polar_replay_s": round(t_po, 1)}), flush=True)
 
-    rows = []
-    for k in range(args.frames):
-        e, p = ex[k], po[k]
-        ve, vp = e["is_valid"] > 0.5, p["is_valid"] > 0.5
-        iou = float((ve & vp).sum() / max((ve | vp).sum(), 1))
-        both = ve & vp
-        de = np.abs(e["elevation"][both] - p["elevation"][both])
-        elev_max = float(de.max()) if de.size else 0.0
-        fe = np.isfinite(e["traversability"]) & np.isfinite(p["traversability"])
-        dt = np.abs(e["traversability"][fe] - p["traversability"][fe])
-        frac = float(np.mean(dt > 0.1)) if dt.size else 0.0
-        p99 = float(np.quantile(dt, 0.99)) if dt.size else 0.0
-        flips = int((ve != vp).sum())
-        rows.append({"frame": k, "iou": round(iou, 4),
-                     "elev_max": round(elev_max, 5),
-                     "frac_gt_0p1": round(frac, 4), "p99": round(p99, 4),
-                     "validity_flips": flips})
-        print(json.dumps(rows[-1]), flush=True)
+    for bins in bin_sweep:
+        cfg_b = cfg.replace(raycast_azimuth_bins=bins) if bins else cfg
+        t0 = time.perf_counter()
+        po = replay(path, cfg_b, snapshot_layers=layers, raycast_mode="polar")
+        t_po = time.perf_counter() - t0
 
-    summary = {
-        "azimuth_bins": cfg.azimuth_bins,
-        "cell_n": cfg.cell_n,
-        "worst_iou": min(r["iou"] for r in rows),
-        "worst_elev_max": max(r["elev_max"] for r in rows),
-        "worst_frac_gt_0p1": max(r["frac_gt_0p1"] for r in rows),
-        "worst_p99": max(r["p99"] for r in rows),
-        "total_validity_flips": sum(r["validity_flips"] for r in rows),
-        "exact_replay_s": round(t_ex, 1),
-        "polar_replay_s": round(t_po, 1),
-    }
-    print("SUMMARY " + json.dumps(summary), flush=True)
+        rows = []
+        for k in range(args.frames):
+            e, p = ex[k], po[k]
+            ve, vp = e["is_valid"] > 0.5, p["is_valid"] > 0.5
+            iou = float((ve & vp).sum() / max((ve | vp).sum(), 1))
+            both = ve & vp
+            de = np.abs(e["elevation"][both] - p["elevation"][both])
+            elev_max = float(de.max()) if de.size else 0.0
+            fe = np.isfinite(e["traversability"]) & np.isfinite(p["traversability"])
+            dt = np.abs(e["traversability"][fe] - p["traversability"][fe])
+            frac = float(np.mean(dt > 0.1)) if dt.size else 0.0
+            p99 = float(np.quantile(dt, 0.99)) if dt.size else 0.0
+            flips = int((ve != vp).sum())
+            rows.append({"frame": k, "iou": round(iou, 4),
+                         "elev_max": round(elev_max, 5),
+                         "frac_gt_0p1": round(frac, 4), "p99": round(p99, 4),
+                         "validity_flips": flips})
+            print(json.dumps({"bins": cfg_b.azimuth_bins, **rows[-1]}),
+                  flush=True)
+
+        summary = {
+            "azimuth_bins": cfg_b.azimuth_bins,
+            "cell_n": cfg.cell_n,
+            "worst_iou": min(r["iou"] for r in rows),
+            "worst_elev_max": max(r["elev_max"] for r in rows),
+            "worst_frac_gt_0p1": max(r["frac_gt_0p1"] for r in rows),
+            "worst_p99": max(r["p99"] for r in rows),
+            "total_validity_flips": sum(r["validity_flips"] for r in rows),
+            "exact_replay_s": round(t_ex, 1),
+            "polar_replay_s": round(t_po, 1),
+        }
+        print("SUMMARY " + json.dumps(summary), flush=True)
     return 0
 
 
