@@ -865,14 +865,20 @@ def bench_exact() -> None:
             return state, impl, aux
 
         state = init_state(cfg)
-        # 3 untimed warmup updates: (1) gated compile — on an EMPTY map
-        # every cell's gate is +inf so the router reads frac~1, (2) the
-        # single flat update the backoff allows (also compiles flat for the
-        # aged phase), (3) the gated re-probe that reads the converged
-        # fraction. The timed loop below is the steady gated state.
+        # Untimed warmup: 3 routed updates settle the router into its
+        # steady state (the empty-map first update can read a transient
+        # high fraction), plus ONE pinned-flat update so the flat program
+        # is compiled BEFORE the aged phase no matter what the router did
+        # (r5 warm run: the 50 s flat compile leaked into the first aged
+        # figure because warmup never happened to route flat).
         t_c = time.perf_counter()
         for _i in range(3):
             state, _, _ = routed_update(state)
+            _ = float(jnp.sum(state.layers[2]))
+        if n_pts >= aged_min and router._eligible:
+            state, _ = core.update_pointcloud_aux(
+                state, points, mask, R, t, zero, zero, w,
+                cfg.replace(raycast_exact_impl="flat"))
             _ = float(jnp.sum(state.layers[2]))
         compile_s += time.perf_counter() - t_c
         t0 = time.perf_counter()
@@ -964,13 +970,14 @@ _ALL_MODES = (
     ("dino", {"BENCH_ITERS": "10", "BENCH_BATCH": "16"}),
 )
 
-# measured WARM per-mode wall seconds (r4 scoreboard + builder runs, with
-# the persistent compile cache hot), padded ~30%: the budget planner
-# reserves this much for every not-yet-run mode so one cold compile can
-# take the whole slack without starving the warm modes behind it
+# measured WARM per-mode wall seconds (r5 builder warm run on v5e:
+# per-mode slot minus compile_s), padded ~40% for cache-load + jax-init:
+# the budget planner reserves this much for every not-yet-run mode so one
+# cold compile can take the whole slack without starving the warm modes
+# behind it. Sum = 770 s, leaving ~550 s slack in the default 1320 budget.
 _EXPECTED_WARM_S = {
-    "mem": 75, "sol": 85, "image": 80, "spatial": 75, "planeseg": 85,
-    "maps": 95, "scaling": 60, "points": 90, "exact": 150, "dino": 80,
+    "mem": 45, "sol": 40, "image": 35, "spatial": 30, "planeseg": 50,
+    "maps": 120, "scaling": 80, "points": 140, "exact": 170, "dino": 60,
 }
 
 # extra keys worth carrying into the RICH cumulative line, per mode
