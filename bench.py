@@ -962,7 +962,7 @@ _ALL_MODES = (
     ("sol", {"BENCH_ITERS": "10"}),
     ("image", {"BENCH_ITERS": "10"}),
     ("spatial", {"BENCH_ITERS": "5"}),
-    ("planeseg", {"BENCH_ITERS": "10", "BENCH_BATCH": "16"}),
+    ("planeseg", {"BENCH_ITERS": "10", "BENCH_BATCH": "64"}),
     ("maps", {"BENCH_ITERS": "5", "BENCH_BATCH": "64", "BENCH_POINTS": "100000"}),
     ("scaling", {"BENCH_ITERS": "3", "BENCH_BATCH": "16", "BENCH_POINTS": "4096"}),
     ("points", {}),
@@ -976,7 +976,7 @@ _ALL_MODES = (
 # cold compile can take the whole slack without starving the warm modes
 # behind it. Sum = 770 s, leaving ~550 s slack in the default 1320 budget.
 _EXPECTED_WARM_S = {
-    "mem": 45, "sol": 40, "image": 35, "spatial": 30, "planeseg": 50,
+    "mem": 45, "sol": 40, "image": 35, "spatial": 30, "planeseg": 80,
     "maps": 120, "scaling": 80, "points": 140, "exact": 170, "dino": 60,
 }
 
@@ -1067,6 +1067,25 @@ def run_all_modes() -> None:
     min_slot = float(os.environ.get("BENCH_MIN_SLOT", 75))
 
     modes = {}
+
+    # Tunnel-attach warmer: on this harness the FIRST device dispatch after
+    # an idle period pays a ~5-minute tunnel attach (measured 285 s tiny-jit
+    # vs 0.9 s for the next dispatch). Absorb it in an explicit untimed
+    # subprocess so mode 1's compile_s is a measurement, not the attach.
+    attach_cap = float(os.environ.get("BENCH_ATTACH_CAP", 420))
+    t_a = time.perf_counter()
+    try:
+        subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; "
+             "print(float(jax.jit(lambda v: v + 1.0)(jnp.float32(0.0))))"],
+            capture_output=True, text=True,
+            timeout=min(attach_cap, budget * 0.4),
+        )
+    except Exception:
+        pass  # a failed warmer just means mode 1 pays the attach instead
+    print(json.dumps({"attach_s": round(time.perf_counter() - t_a, 1)}),
+          flush=True)
 
     def emit(m):
         print(json.dumps({"mode": m, **modes[m]}), flush=True)

