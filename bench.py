@@ -807,6 +807,7 @@ def bench_sol() -> None:
             "samples": F,
             "rays": N,
             "compile_s": round(compile_s, 1),
+            "floors_note": "net of host-sync floor; 0.0 = at/below it",
             "host_sync_floor_s": round(floor, 4),
             "vs_baseline_note": "ratio vs the r3 measured 12.2 ms floor "
                                 "(PARITY.md); >1 = this chip is faster",
