@@ -1079,24 +1079,33 @@ def run_all_modes() -> None:
 
     modes = {}
 
+    # test hook: BENCH_MODES overrides the mode list (tests/test_bench_summary
+    # drives the REAL orchestrator end-to-end with no-op modes — the r4
+    # scoreboard loss was in exactly this delivery layer)
+    only = os.environ.get("BENCH_MODES")
+    all_modes = (tuple((m, {}) for m in only.split(",")) if only
+                 else _ALL_MODES)
+
     # Tunnel-attach warmer: on this harness the FIRST device dispatch after
     # an idle period pays a ~5-minute tunnel attach (measured 285 s tiny-jit
     # vs 0.9 s for the next dispatch). Absorb it in an explicit untimed
     # subprocess so mode 1's compile_s is a measurement, not the attach.
+    # BENCH_ATTACH_CAP=0 skips it (tests; CPU-only hosts).
     attach_cap = float(os.environ.get("BENCH_ATTACH_CAP", 420))
-    t_a = time.perf_counter()
-    try:
-        subprocess.run(
-            [sys.executable, "-c",
-             "import jax, jax.numpy as jnp; "
-             "print(float(jax.jit(lambda v: v + 1.0)(jnp.float32(0.0))))"],
-            capture_output=True, text=True,
-            timeout=min(attach_cap, budget * 0.4),
-        )
-    except Exception:
-        pass  # a failed warmer just means mode 1 pays the attach instead
-    print(json.dumps({"attach_s": round(time.perf_counter() - t_a, 1)}),
-          flush=True)
+    if attach_cap > 0:
+        t_a = time.perf_counter()
+        try:
+            subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; "
+                 "print(float(jax.jit(lambda v: v + 1.0)(jnp.float32(0.0))))"],
+                capture_output=True, text=True,
+                timeout=min(attach_cap, budget * 0.4),
+            )
+        except Exception:
+            pass  # a failed warmer just means mode 1 pays the attach instead
+        print(json.dumps({"attach_s": round(time.perf_counter() - t_a, 1)}),
+              flush=True)
 
     def emit(m):
         print(json.dumps({"mode": m, **modes[m]}), flush=True)
@@ -1113,7 +1122,7 @@ def run_all_modes() -> None:
         # ... and the compact scoreboard LAST, always (driver tail capture)
         print(_compact_summary(modes), flush=True)
 
-    for mi, (m, envkv) in enumerate(_ALL_MODES):
+    for mi, (m, envkv) in enumerate(all_modes):
         remaining = budget - (time.perf_counter() - t_start)
         if remaining < min_slot:
             modes[m] = {"skipped": "budget"}
@@ -1123,7 +1132,7 @@ def run_all_modes() -> None:
         # this mode (a cold mode takes the slack; warm modes behind it stay
         # funded), clamped to [min_slot, mode_cap, remaining]
         reserve = sum(_EXPECTED_WARM_S.get(mm, 80)
-                      for mm, _ in _ALL_MODES[mi + 1:])
+                      for mm, _ in all_modes[mi + 1:])
         slot = min(mode_cap, remaining, max(min_slot, remaining - reserve))
         env = dict(os.environ)
         env.update(envkv)
@@ -1175,6 +1184,16 @@ def main() -> None:
     if mode is None:
         run_all_modes()
         return
+    # test-only modes (tests/test_bench_summary.py drives the real
+    # orchestrator end-to-end with these; no jax import)
+    if mode == "_noop":
+        print(json.dumps({"metric": "noop", "value": 1.0, "unit": "x",
+                          "vs_baseline": 1.0,
+                          "extra": {"compile_s": 0.0}}))
+        return
+    if mode == "_noop_err":
+        print("this mode fails before emitting json", file=sys.stderr)
+        sys.exit(3)
     if mode == "exact":
         bench_exact()
         return

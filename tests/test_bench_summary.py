@@ -101,3 +101,42 @@ def test_budget_planner_gives_first_cold_mode_the_slack():
     assert slots[0] >= 500
     # and no mode is ever starved below the minimum useful slot
     assert min(slots) >= min_slot
+
+
+def test_orchestrator_end_to_end_last_line_is_compact(tmp_path):
+    """Drive the REAL run_all_modes subprocess plumbing (the delivery layer
+    that lost the r4 scoreboard): a success mode and a crashing mode via
+    the BENCH_MODES hook. The LAST stdout line must be the compact
+    scoreboard — parseable, <1500 bytes, both modes present, the failure
+    as a truncated error — and every mode line must carry cache_new."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.update({
+        "BENCH_MODES": "_noop,_noop_err",
+        "BENCH_ATTACH_CAP": "0",          # no device touch in tests
+        "BENCH_TOTAL_BUDGET": "120",
+        "BENCH_MIN_SLOT": "1",
+        "ELEV_TPU_CACHE_ROOT": str(tmp_path),
+    })
+    p = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "..", "bench.py")],
+        capture_output=True, text=True, env=env, timeout=120,
+    )
+    assert p.returncode == 0, p.stderr[-500:]
+    lines = [l for l in p.stdout.strip().splitlines() if l.startswith("{")]
+    last = json.loads(lines[-1])
+    assert len(lines[-1].encode()) < 1500
+    m = last["extra"]["modes"]
+    assert m["_noop"]["value"] == 1.0
+    assert "error" in m["_noop_err"] and len(m["_noop_err"]["error"]) <= 60
+    # per-mode lines carry the cache telemetry
+    mode_lines = [json.loads(l) for l in lines if '"mode"' in l[:12]]
+    assert {d["mode"] for d in mode_lines} == {"_noop", "_noop_err"}
+    assert all("cache_new" in d for d in mode_lines)
+    # and the compact line is printed after every mode, so ANY tail cut
+    # still ends in a parseable scoreboard: the line before the last mode
+    # block is also a compact summary
+    compacts = [l for l in lines if l.startswith('{"metric"') and "modes" in l]
+    assert len(compacts) >= 4  # rich + compact per mode, compact last
