@@ -112,8 +112,11 @@ class MapConfig:
     # culling — ray segments that provably contain no writer (block-max
     # z-threshold gate) skip the per-sample pipeline entirely (~2x faster
     # when writers are sparse, ~15% slower in the adversarial everything-
-    # penetrates regime — pick "flat" for such workloads); "auto" = gated
-    # once the march is large enough to amortize the expansion machinery.
+    # penetrates regime); "auto" = gated once the march is large enough to
+    # amortize the expansion machinery — and, through the mapper, the
+    # AdaptiveExactRouter feeds the gate's survivor fraction back so
+    # aged/no-cull workloads re-route to the ungated flat march on the
+    # next update automatically (ops/raycast.py::AdaptiveExactRouter).
     # All produce bit-identical per-sample contributions; only float
     # summation order differs (<= 1e-6 relative).
     raycast_exact_impl: str = "auto"
