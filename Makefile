@@ -5,8 +5,8 @@
 test:
 	bash scripts/test.sh
 
-test-fast:  ## one chunked process per half, first failure aborts
-	bash scripts/test.sh 2 -x
+test-fast:  ## -x within each chunk AND stop at the first failing chunk
+	TEST_SH_FAIL_FAST=1 bash scripts/test.sh 2 -x
 
 bench:
 	python bench.py

@@ -984,7 +984,7 @@ _ALL_MODES = (
 # per-mode slot minus compile_s), padded ~40% for cache-load + jax-init:
 # the budget planner reserves this much for every not-yet-run mode so one
 # cold compile can take the whole slack without starving the warm modes
-# behind it. Sum = 770 s, leaving ~550 s slack in the default 1320 budget.
+# behind it. Sum = 800 s, leaving ~520 s slack in the default 1320 budget.
 _EXPECTED_WARM_S = {
     "mem": 45, "sol": 40, "image": 35, "spatial": 30, "planeseg": 80,
     "maps": 120, "scaling": 80, "points": 140, "exact": 170, "dino": 60,
@@ -1174,6 +1174,11 @@ def run_all_modes() -> None:
                 last_err = f"{type(e).__name__}: {str(e)[:200]}"
         if last_err is not None:
             modes[m] = {"error": last_err}
+        elif m not in modes:
+            # budget expired between the outer check and the in-retry check
+            # (reserve sum / env copy / cache walk ate the margin): record
+            # the skip instead of KeyError-ing the whole scoreboard away
+            modes[m] = {"skipped": "budget"}
         cache_after = _cache_entry_counts()
         modes[m]["cache_new"] = sum(cache_after.values()) - sum(cache_before.values())
         emit(m)

@@ -165,7 +165,11 @@ class ElevationMap:
 
         # gated/flat routing loop for raycast_exact_impl="auto" (VERDICT r4
         # item 5): the previous update's gate survivor fraction routes the
-        # next update off the gated march when the gate culls too little
+        # next update off the gated march when the gate culls too little.
+        # NOTE: the first flip to "flat" on a live map lazily compiles a
+        # second program (~50 s on a cold tunneled TPU, once per persistent
+        # cache); latency-critical deployments should call
+        # warm_raycast_impls() at startup.
         from .ops.raycast import AdaptiveExactRouter
 
         self._exact_router = AdaptiveExactRouter(cfg)
@@ -228,6 +232,33 @@ class ElevationMap:
             jnp.asarray(R, jnp.float32),
             self.cfg,
         )
+
+    def warm_raycast_impls(self, n_points: Optional[int] = None) -> list:
+        """Pre-compile BOTH adaptive exact-raycast programs (gated + flat)
+        at the padded bucket for ``n_points`` (default cfg.max_points), on a
+        throwaway state. The AdaptiveExactRouter's first flip to "flat"
+        otherwise lazily compiles mid-operation (~50 s cold on a tunneled
+        TPU, once per persistent cache) — latency-critical deployments call
+        this at startup (the runtime service does when exact-eligible).
+        Returns the list of warmed impls ([] when routing is inactive)."""
+        if not self._exact_router._eligible:
+            return []
+        m = self._bucket(n_points or self.cfg.max_points)
+        pts = jnp.zeros((m, 3), jnp.float32)
+        mask = jnp.zeros((m,), bool)
+        R = jnp.eye(3)
+        t = jnp.zeros((3,), jnp.float32)
+        z = jnp.float32(0.0)
+        warmed = []
+        for impl in ("gated", "flat"):
+            cfg_step = self.cfg.replace(raycast_exact_impl=impl)
+            out, _ = core.update_pointcloud_aux(
+                init_state(cfg_step), pts, mask, R, t, z, z, self.weights,
+                cfg_step,
+            )
+            out.layers.block_until_ready()
+            warmed.append(impl)
+        return warmed
 
     def input_pointcloud(
         self,

@@ -46,6 +46,11 @@ def _env_int(name: str, default: int) -> int:
     return int(v) if v else default
 
 
+def _env_float(name: str, default: float) -> float:
+    v = os.environ.get(name)
+    return float(v) if v else default
+
+
 _AUTO_MAX_STEPS = _env_int("ELEV_TPU_RAYCAST_AUTO_MAX_STEPS", 12)
 _AUTO_WORK_RATIO = _env_int("ELEV_TPU_RAYCAST_AUTO_WORK_RATIO", 8)
 _FLAT_MIN_SAMPLES = _env_int("ELEV_TPU_RAYCAST_FLAT_MIN_SAMPLES", 1 << 20)
@@ -75,7 +80,7 @@ _GATE_SLICE_RAYS = _env_int("ELEV_TPU_RAYCAST_GATE_SLICE_RAYS", 1 << 20)
 # ~15% coarse overhead, so breakeven sits near 0.85) and the next update is
 # routed to the ungated flat march; a gated probe every _GATE_PROBE_PERIOD
 # updates re-measures so the router converges back when the map rejuvenates.
-_GATE_SURV_ROUTE = float(os.environ.get("ELEV_TPU_RAYCAST_GATE_SURV_ROUTE", 0.8))
+_GATE_SURV_ROUTE = _env_float("ELEV_TPU_RAYCAST_GATE_SURV_ROUTE", 0.8)
 _GATE_PROBE_PERIOD = _env_int("ELEV_TPU_RAYCAST_GATE_PROBE_PERIOD", 8)
 
 
@@ -628,7 +633,8 @@ def _exact_gated(
     Worst case (every segment survives) degrades gracefully to ~the flat
     march's cost plus the coarse pass (~15%); typical converged maps cull
     80-100% of samples. Returns ``(layers, survivor_frac)`` where
-    survivor_frac (f32 scalar, 1.0 on an empty march) is the fraction of
+    survivor_frac (f32 scalar, 0.0 on an empty march — a sensor-dropout
+    frame must not read as "gating is useless") is the fraction of
     live segments that passed the gate — the routing signal
     :class:`AdaptiveExactRouter` feeds back into the NEXT update's
     gated-vs-flat choice (VERDICT r4 item 5).
@@ -897,10 +903,14 @@ def _exact_gated(
         return (jc + 1, dec, var, ubmin, surv + S)
 
     _, dec, var, ubmin, surv = jax.lax.while_loop(cond, body, init)
+    # empty march (sensor-dropout frame, everything NaN-filtered): report
+    # 0.0, not 1.0 — a dropout frame carries no evidence that gating is
+    # useless, and 1.0 would flip the router to the slower flat march on
+    # the next REAL update (review r5)
     surv_frac = jnp.where(
         total_seg > 0,
         surv.astype(jnp.float32) / jnp.maximum(total_seg, 1).astype(jnp.float32),
-        1.0,
+        0.0,
     ).astype(dt)
 
     flat = layers.reshape(7, -1)

@@ -231,6 +231,11 @@ class MappingService:
         time_fps: float = 10.0,
     ):
         self.mapper = mapper or ElevationMap(cfg)
+        # Exact-eligible configs: compile BOTH adaptive raycast programs now
+        # (startup, amortized by the persistent cache) instead of stalling
+        # the live mapping loop ~50 s on the router's first gated->flat flip.
+        # No-op for the polar production route.
+        self.mapper.warm_raycast_impls()
         self.queue: "queue.Queue[SensorFrame]" = queue.Queue(maxsize=queue_size)
         self.publishers: List[Publisher] = []
         self.stats = Statistics()

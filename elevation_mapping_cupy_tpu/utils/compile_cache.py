@@ -125,20 +125,25 @@ def ensure_compile_cache(
     explicit = os.environ.get("JAX_COMPILATION_CACHE_DIR")
     if explicit:
         return explicit
-    current = jax.config.jax_compilation_cache_dir
-    if current:
-        return current
     if max_mb is None:
         max_mb = _max_mb_default()
-    if backend is None:
-        backend = jax.default_backend()
-    path = cache_dir_for_backend(backend)
     try:
+        current = jax.config.jax_compilation_cache_dir
+        if current:
+            return current
+        if backend is None:
+            backend = jax.default_backend()
+        path = cache_dir_for_backend(backend)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # very old jax without these options: degrade to no-cache
+        return cache_dir_for_backend(backend or "unknown")
+    try:
+        # newer-jax-only LRU cap: its absence must not disable the dir
+        # routing above or the eager prune below
         if max_mb > 0:
             jax.config.update("jax_compilation_cache_max_size", max_mb << 20)
-    except Exception:  # very old jax without these options
-        return path
+    except Exception:
+        pass
     prune_cache_dir(path, max_mb)
     return path

@@ -17,6 +17,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from elevation_mapping_cupy_tpu.utils.compile_cache import ensure_compile_cache
+ensure_compile_cache()  # r5: no longer auto-enabled at package import
+
+
 from elevation_mapping_cupy_tpu import core, init_state
 from elevation_mapping_cupy_tpu.config import load_config
 from elevation_mapping_cupy_tpu.nn.traversability import default_weights

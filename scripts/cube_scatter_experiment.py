@@ -30,6 +30,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from elevation_mapping_cupy_tpu.utils.compile_cache import ensure_compile_cache
+ensure_compile_cache()  # r5: no longer auto-enabled at package import
+
+
 N = int(os.environ.get("NPTS", 1_000_000))
 A, R, S = 512, 355, 128
 NB = A * R * S

@@ -10,6 +10,10 @@ rest): ``python scripts/probe_pallas_gather.py <index>``.
 import sys
 import numpy as np
 import jax, jax.numpy as jnp
+
+from elevation_mapping_cupy_tpu.utils.compile_cache import ensure_compile_cache
+ensure_compile_cache()  # r5: no longer auto-enabled at package import
+
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 

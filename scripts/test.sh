@@ -35,7 +35,12 @@ for ((i = 0; i < N; i++)); do
   echo "=== chunk $((i + 1))/$N: ${CHUNK[*]} ==="
   JAX_PLATFORMS=cpu python -m pytest "${CHUNK[@]}" -q "$@"
   r=$?
-  [ $r -ne 0 ] && rc=$r
+  if [ $r -ne 0 ]; then
+    rc=$r
+    # TEST_SH_FAIL_FAST=1 (make test-fast): stop at the first failing
+    # chunk instead of running the rest of the suite
+    [ "${TEST_SH_FAIL_FAST:-0}" = "1" ] && break
+  fi
 done
 
 if [ $rc -eq 0 ]; then

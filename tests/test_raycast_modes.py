@@ -574,26 +574,24 @@ def test_polar_deployed_scale_divergence_bound(tmp_path):
     (4 frames, 20k pts, CPU) measured worst p99 0.199 / frac 6.6% on the
     sparse first frame, decaying to 0.10 by frame 3, with ZERO validity
     flips and bit-identical elevation; bounds carry ~1.5x headroom."""
+    import importlib.util
     import os as _os
 
     from elevation_mapping_cupy_tpu.config import load_config
-    from elevation_mapping_cupy_tpu.runtime.replay import LogWriter, replay
+    from elevation_mapping_cupy_tpu.runtime.replay import replay
 
-    rng = np.random.default_rng(1234)
+    # the SAME scene generator the TPU measurement used — imported, not
+    # copied, so harness and CI bound can never drift apart
+    spec = importlib.util.spec_from_file_location(
+        "deployed_scale_divergence",
+        _os.path.join(_os.path.dirname(__file__), "..", "scripts",
+                      "deployed_scale_divergence.py"),
+    )
+    harness = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(harness)
+
     n_points, n_frames = 20_000, 4
-    w = LogWriter()
-    for i in range(n_frames):
-        x0 = 0.24 * i
-        pts = rng.uniform(-3.8, 3.8, (n_points, 3)).astype(np.float32)
-        pts[:, 2] = rng.uniform(-0.05, 0.05, n_points).astype(np.float32)
-        wx = pts[:, 0] + x0
-        box = (wx > 3.0) & (wx < 3.8) & (np.abs(pts[:, 1]) < 0.8)
-        pts[box, 2] = 0.35
-        dyn = (pts[:, 0] > 1.2) & (pts[:, 0] < 1.8) & (pts[:, 1] > 1.0) & (pts[:, 1] < 1.8)
-        if i == 3:
-            pts[dyn, 2] = 0.45
-        t = np.array([x0, 0.0, 0.6], np.float32)
-        w.add(pts, np.eye(3, dtype=np.float32), t, position=t, stamp=0.1 * i)
+    w = harness.build_log(n_frames, n_points, seed=1234)
     path = str(tmp_path / "deployed.npz")
     w.save(path)
 
@@ -618,3 +616,19 @@ def test_polar_deployed_scale_divergence_bound(tmp_path):
         dt = np.abs(e["traversability"][fe] - p["traversability"][fe])
         assert float(np.mean(dt > 0.1)) < 0.12, f"frame {k}: frac"
         assert float(np.quantile(dt, 0.99)) < 0.30, f"frame {k}: p99"
+
+
+def test_mapper_warm_raycast_impls(monkeypatch):
+    """warm_raycast_impls pre-compiles both adaptive programs (the router's
+    first gated->flat flip must not stall a live robot ~50 s); no-op for
+    ineligible (polar-production) configs."""
+    from elevation_mapping_cupy_tpu.mapper import ElevationMap
+
+    monkeypatch.setattr(rc, "_FLAT_MIN_SAMPLES", 1)
+    cfg = MapConfig(resolution=0.1, map_length=4.0, max_ray_length=1.5,
+                    max_points=2048, raycast_mode="exact",
+                    enable_drift_compensation=False)
+    em = ElevationMap(cfg)
+    assert em.warm_raycast_impls() == ["gated", "flat"]
+    # polar production route: nothing to warm
+    assert ElevationMap(MapConfig()).warm_raycast_impls() == []
